@@ -1,0 +1,83 @@
+"""
+pisa_tpu — a TPU-native (JAX/XLA/Pallas) framework for binned statistical
+inference on neutrino-oscillation measurements via Monte-Carlo reweighting.
+
+Provides the capabilities of IceCube's PISA (reference: /root/reference,
+``pisa/__init__.py``) redesigned TPU-first: each analysis pipeline compiles to
+a single jit-compiled, differentiable ``params -> MapSet`` function.
+
+Global runtime configuration (cf. reference ``pisa/__init__.py:50-82``):
+
+- ``FTYPE``/``CTYPE``/``ITYPE``: float/complex/int dtypes selected once at
+  import via the ``PISA_TPU_FTYPE`` env var (``fp32``/``fp64``; ``fp64``
+  enables JAX x64 globally). TPU runs use fp32 (native); fp64 is used for
+  CPU-side golden-parity tests.
+- ``HASH_SIGFIGS``: significant figures used when normalizing quantities for
+  hashing (12 for fp64, 5 for fp32 — matches reference
+  ``pisa/__init__.py:277-283``).
+- ``EPSILON``: comparison tolerance derived from HASH_SIGFIGS.
+- ``CACHE_DIR``: on-disk cache location.
+- ``ureg``/``Q_``: unit registry (minimal pint-compatible implementation in
+  ``pisa_tpu.units``).
+"""
+
+import os
+
+import numpy as np
+
+__all__ = [
+    "__version__",
+    "FTYPE",
+    "CTYPE",
+    "ITYPE",
+    "FTYPE_NAME",
+    "HASH_SIGFIGS",
+    "EPSILON",
+    "CACHE_DIR",
+    "PISA_TPU_NUM_DEVICES",
+    "ureg",
+    "Q_",
+]
+
+__version__ = "0.1.0"
+
+# ---------------------------------------------------------------------------
+# Float-type policy. Must run BEFORE the first `import jax` triggers backend
+# initialization, since x64 must be enabled globally.
+# ---------------------------------------------------------------------------
+_ftype_env = os.environ.get("PISA_TPU_FTYPE", "fp32").strip().lower()
+if _ftype_env in ("fp64", "float64", "double", "64"):
+    FTYPE_NAME = "fp64"
+    FTYPE = np.float64
+    CTYPE = np.complex128
+    ITYPE = np.int64
+    HASH_SIGFIGS = 12
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+elif _ftype_env in ("fp32", "float32", "single", "32"):
+    FTYPE_NAME = "fp32"
+    FTYPE = np.float32
+    CTYPE = np.complex64
+    ITYPE = np.int32
+    HASH_SIGFIGS = 5
+else:
+    raise ValueError(
+        f"Invalid PISA_TPU_FTYPE={_ftype_env!r}; expected 'fp32' or 'fp64'"
+    )
+
+EPSILON = 10 ** -HASH_SIGFIGS
+
+# Number of (virtual) devices to target for sharded evaluation; actual mesh
+# construction happens lazily in pisa_tpu.parallel.
+PISA_TPU_NUM_DEVICES = int(os.environ.get("PISA_TPU_NUM_DEVICES", "0"))
+
+CACHE_DIR = os.environ.get(
+    "PISA_TPU_CACHE_DIR",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "pisa_tpu",
+    ),
+)
+
+from pisa_tpu.units import ureg, Quantity as Q_  # noqa: E402
