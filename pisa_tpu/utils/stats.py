@@ -1,0 +1,281 @@
+"""
+Binned comparison metrics (llh / chi2 families), rebuilt as pure,
+jit/grad-able JAX functions (cf. reference ``pisa/utils/stats.py:43-57``).
+
+Conventions match the reference exactly:
+
+- each metric maps (actual, expected[, variance]) elementwise to per-bin
+  values; callers sum for totals
+- ``expected`` is clipped to ``SMALL_POS`` to avoid log/0-division blowups
+- llh-family metrics are *maximized*, chi2-family *minimized*
+- ``sigma**2`` below is the variance attached to the expectation (the
+  reference's ``unp.std_devs(expected)**2``), i.e. MC (sumw2) uncertainty
+
+All functions accept numpy or jax arrays and return jax arrays; they are safe
+to call inside jit and to differentiate w.r.t. `expected`.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+__all__ = [
+    "SMALL_POS",
+    "ALL_METRICS",
+    "METRICS_TO_MAXIMIZE",
+    "METRICS_TO_MINIMIZE",
+    "it_got_better",
+    "is_metric_to_maximize",
+    "chi2",
+    "llh",
+    "poisson_llh",
+    "log_poisson",
+    "mcllh_mean",
+    "mcllh_eff",
+    "mod_chi2",
+    "correct_chi2",
+    "weighted_chi2",
+    "signed_sqrt_mod_chi2",
+    "barlow_llh",
+    "conv_llh",
+    "generalized_poisson_llh",
+]
+
+SMALL_POS = 1e-10
+
+METRICS_TO_MAXIMIZE = [
+    "llh",
+    "poisson_llh",
+    "conv_llh",
+    "barlow_llh",
+    "mcllh_mean",
+    "mcllh_eff",
+    "generalized_poisson_llh",
+]
+METRICS_TO_MINIMIZE = [
+    "chi2",
+    "mod_chi2",
+    "correct_chi2",
+    "weighted_chi2",
+    "signed_sqrt_mod_chi2",
+]
+ALL_METRICS = METRICS_TO_MAXIMIZE + METRICS_TO_MINIMIZE
+
+
+def is_metric_to_maximize(metric):
+    if isinstance(metric, str):
+        metric = [metric]
+    if all(m in METRICS_TO_MAXIMIZE for m in metric):
+        return True
+    if all(m in METRICS_TO_MINIMIZE for m in metric):
+        return False
+    raise ValueError(f"Metrics {metric} are not compatible")
+
+
+def it_got_better(new_metric_val, old_metric_val, metric):
+    if is_metric_to_maximize(metric):
+        return new_metric_val > old_metric_val
+    return new_metric_val < old_metric_val
+
+
+def _clip(expected):
+    return jnp.clip(jnp.asarray(expected), SMALL_POS, None)
+
+
+# ---------------------------------------------------------------------------
+# chi2 family
+# ---------------------------------------------------------------------------
+def chi2(actual, expected, variance=None):
+    """Pearson chi2 = (a - e)^2 / e  (reference ``stats.py:98``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    return jnp.square(a - e) / e
+
+
+def mod_chi2(actual, expected, variance=0.0):
+    """(a - e)^2 / (sigma^2 + e)  (reference ``stats.py:651``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    return jnp.square(a - e) / (jnp.asarray(variance) + e)
+
+
+def correct_chi2(actual, expected, variance=0.0):
+    """mod_chi2 + log(sigma^2 + e): -2x log of normal approximation to
+    Poisson incl. variance normalization (reference ``stats.py:697``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    total_var = jnp.asarray(variance) + e
+    return jnp.square(a - e) / total_var + jnp.log(total_var)
+
+
+def weighted_chi2(actual, expected, bin_unc2, variance=0.0):
+    """(a - e)^2 / (sigma^2 + bin_unc2)  (reference ``stats.py:732``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    total_var = jnp.asarray(variance) + jnp.clip(
+        jnp.asarray(bin_unc2), SMALL_POS, None
+    )
+    return jnp.square(a - e) / total_var
+
+
+def signed_sqrt_mod_chi2(actual, expected, variance=0.0):
+    """(a - e) / sqrt(sigma^2 + e)  (reference ``stats.py:762``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    return (a - e) / jnp.sqrt(jnp.asarray(variance) + e)
+
+
+# ---------------------------------------------------------------------------
+# llh family
+# ---------------------------------------------------------------------------
+def llh(actual, expected, variance=None):
+    """Poisson llh with Stirling's approximation of ln(k!):
+    a ln(e) - e - (a ln(a) - a)  (reference ``stats.py:169``).
+
+    Exact for llh *differences*; NaN when a == 0 only via a*ln(a) -> handled
+    as 0*log(0) = 0 (the reference produces NaN there; we use the well-defined
+    limit so jit/grad stay finite)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    a_log_a = jnp.where(a > 0, a * jnp.log(jnp.where(a > 0, a, 1.0)), 0.0)
+    return a * jnp.log(e) - e - (a_log_a - a)
+
+
+def log_poisson(k, lam):
+    """ln Poisson(k | lam) with exact ln(k!) via lgamma."""
+    k = jnp.asarray(k)
+    lam = jnp.asarray(lam)
+    return k * jnp.log(lam) - lam - gammaln(k + 1.0)
+
+
+def poisson_llh(actual, expected, variance=None):
+    """Exact Poisson llh: a ln(e) - e - ln(a!)  (reference ``stats.py:255``)."""
+    e = _clip(expected)
+    a = jnp.asarray(actual)
+    return a * jnp.log(e) - e - gammaln(a + 1.0)
+
+
+def _poisson_gamma(data, sum_w, sum_w2, a=1.0, b=0.0):
+    """Poisson-gamma mixture llh (Arguelles/Schneider/Yuan JHEP06(2019)030;
+    reference ``pisa/utils/likelihood_functions.py:poisson_gamma``).
+
+    a=b=0 -> L_Mean; a=1, b=0 -> L_Eff. Vectorized and branch-free for jit:
+    - bad bins (w<=0 or w2<0): llh = -inf, except 0 when data==0
+    - w2==0: exact Poisson limit
+    """
+    k = jnp.asarray(data)
+    w = jnp.asarray(sum_w)
+    w2 = jnp.asarray(sum_w2)
+
+    bad = (w <= 0) | (w2 < 0)
+    poisson_lim = (w2 == 0) & ~bad
+
+    w2_safe = jnp.where(w2 > 0, w2, 1.0)
+    alpha = jnp.square(w) / w2_safe + a
+    beta = w / w2_safe + b
+    L = (
+        alpha * jnp.log(beta)
+        + gammaln(k + alpha)
+        - gammaln(k + 1.0)
+        - (k + alpha) * jnp.log1p(beta)
+        - gammaln(alpha)
+    )
+
+    L = jnp.where(poisson_lim, poisson_llh(k, w), L)
+    L = jnp.where(bad, jnp.where(k == 0, 0.0, -jnp.inf), L)
+    return L
+
+
+def mcllh_mean(actual, expected, variance=0.0):
+    """L_Mean of JHEP06(2019)030 table 2 (reference ``stats.py:328``)."""
+    return _poisson_gamma(actual, _clip(expected), jnp.asarray(variance), a=0.0, b=0.0)
+
+
+def mcllh_eff(actual, expected, variance=0.0):
+    """L_Eff, eq. 3.16 of JHEP06(2019)030 (reference ``stats.py:384``)."""
+    return _poisson_gamma(actual, _clip(expected), jnp.asarray(variance), a=1.0, b=0.0)
+
+
+def barlow_llh(actual, expected, variance=0.0):
+    """Barlow-Beeston llh with one 'MC source': analytic single-source
+    solution of the Barlow-Beeston conditional likelihood
+    (reference ``stats.py:598`` + ``pisa/utils/barlow.py``).
+
+    With unweighted counts N = e^2/var and weights w = var/e per bin, solve
+    for the scaled MC expectation f = w*A (A the latent true MC count)
+    maximizing  Poisson(d | f) * Poisson(N | A); the single-source stationary
+    condition is quadratic in A and closed-form, keeping this jit/grad-able.
+    """
+    d = jnp.asarray(actual)
+    e = _clip(expected)
+    var = jnp.clip(jnp.asarray(variance) + jnp.zeros_like(e), SMALL_POS, None)
+    N = jnp.square(e) / var  # unweighted MC count
+    w = var / e  # per-event weight
+    # Single-source profile: L(A) = d ln(wA) - wA + N ln(A) - A;
+    # dL/dA = d/A - w + N/A - 1 = 0  =>  A = (d + N) / (1 + w).
+    A = (d + N) / (1.0 + w)
+    f = jnp.clip(w * A, SMALL_POS, None)
+    A = jnp.clip(A, SMALL_POS, None)
+    llh_data = d * jnp.log(f) - f - gammaln(d + 1.0)
+    llh_mc = N * jnp.log(A) - A - gammaln(N + 1.0)
+    # subtract the saturated MC term so the metric is 0-referenced like the
+    # reference's barlowLLH (which returns -llh for minimization; we return
+    # the per-bin llh to be summed and maximized)
+    llh_mc_sat = N * jnp.log(jnp.clip(N, SMALL_POS, None)) - N - gammaln(N + 1.0)
+    return llh_data + llh_mc - llh_mc_sat
+
+
+def conv_llh(actual, expected, variance=0.0, nsigma=3, steps=50):
+    """Poisson llh convolved with a normal MC uncertainty, normalized to the
+    same convolution evaluated at actual==expected
+    (reference ``stats.py:558``). Vectorized trapezoid-free sum over a fixed
+    grid of `steps` sigma-offsets, jit-able."""
+    a = jnp.asarray(actual, dtype=jnp.result_type(float))
+    e = jnp.clip(jnp.asarray(expected), SMALL_POS, None)
+    s = jnp.clip(
+        jnp.sqrt(jnp.asarray(variance) + jnp.zeros_like(e)), SMALL_POS, None
+    )
+
+    def norm_conv(k, lam, sig):
+        st = 2 * steps + 1
+        x = jnp.linspace(-nsigma * sig, nsigma * sig, st)[:-1] + (
+            nsigma * sig / (st - 1.0)
+        )
+        lam_shift = jnp.clip(x + lam, SMALL_POS, None)
+        log_pois = k * jnp.log(lam_shift) - lam_shift - gammaln(k + 1.0)
+        log_gauss = -0.5 * jnp.square(x / sig) - jnp.log(
+            sig * jnp.sqrt(2 * jnp.pi)
+        )
+        conv = jnp.sum(jnp.exp(log_pois + log_gauss))
+        norm = jnp.sum(jnp.exp(log_gauss))
+        cp = conv / norm
+        # normalize continuous-k Poisson density at k=lam
+        n1 = jnp.exp(lam * jnp.log(lam) - lam - gammaln(lam + 1.0))
+        n2_x = jnp.clip(x + lam, SMALL_POS, None)
+        n2_log_pois = lam * jnp.log(n2_x) - n2_x - gammaln(lam + 1.0)
+        n2 = jnp.sum(jnp.exp(n2_log_pois + log_gauss)) / norm
+        return cp * n1 / n2
+
+    fn = jax.vmap(norm_conv)
+    flat_a, flat_e, flat_s = a.ravel(), e.ravel(), s.ravel()
+    num = fn(flat_a, flat_e, flat_s)
+    den = fn(flat_a, jnp.clip(flat_a, SMALL_POS, None), flat_s)
+    out = jnp.log(jnp.clip(num, SMALL_POS, None)) - jnp.log(
+        jnp.clip(den, SMALL_POS, None)
+    )
+    return out.reshape(a.shape)
+
+
+def generalized_poisson_llh(actual, expected=None, empty_bins=None):
+    """Generalized Poisson-gamma mixture llh (arXiv:1902.08831 eqs. 91/97).
+
+    See :mod:`pisa_tpu.utils.llh_defs` for the mixture implementation; this
+    wrapper expects `expected` to be a mapping with entries computed by the
+    ``likelihood.generalized_llh_params`` stage: 'llh_alphas', 'llh_betas',
+    'weights', 'n_mc_events' — each an array of shape (n_sources, n_bins).
+    """
+    from pisa_tpu.utils.llh_defs.poisson import generalized_pg_llh
+
+    return generalized_pg_llh(
+        actual, expected, empty_bins=empty_bins
+    )
