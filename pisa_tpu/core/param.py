@@ -934,3 +934,40 @@ class ParamSelector:
         selector = str(selector).strip().lower()
         self._selector_params.setdefault(selector, ParamSet()).update(param)
         self._rebuild()
+
+    def get(self, name, selector=None) -> Param:
+        """Param by name, from the given selector group or the regular set
+        (raises KeyError if absent; cf. reference ``ParamSelector.get``)."""
+        if selector is not None:
+            sel = str(selector).strip().lower()
+            if sel in self._selector_params and name in self._selector_params[sel]:
+                return self._selector_params[sel][name]
+            raise KeyError(f"No param {name!r} under selector {selector!r}")
+        if name in self._regular_params:
+            return self._regular_params[name]
+        # fall back: search all selector groups for a unique match
+        for ps in self._selector_params.values():
+            if name in ps:
+                return ps[name]
+        raise KeyError(f"No param {name!r} in selector")
+
+    def update_param(self, param, selector=None, existing_must_match=False):
+        """Place `param` under `selector` (or the regular set)."""
+        if selector is None:
+            self._regular_params.update(
+                param, existing_must_match=existing_must_match
+            )
+        else:
+            sel = str(selector).strip().lower()
+            self._selector_params.setdefault(sel, ParamSet()).update(
+                param, existing_must_match=existing_must_match
+            )
+        self._rebuild()
+
+    def __iter__(self):
+        seen = set()
+        for ps in [self._regular_params, *self._selector_params.values()]:
+            for p in ps:
+                if id(p) not in seen:
+                    seen.add(id(p))
+                    yield p

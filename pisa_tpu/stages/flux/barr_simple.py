@@ -1,0 +1,130 @@
+"""
+Barr-style flux-systematics stage (cf. reference
+``pisa/stages/flux/barr_simple.py``): applies nue/numu ratio, nu/nubar
+ratio, spectral-index tilt, and Barr up/hor + nu/nubar parameterized
+modifications to the nominal (nue, numu) flux pair per event.
+
+The per-event gufunc of the reference becomes one fused jnp expression per
+container (vectorized over events/grid points); `nubar` is a static per-
+container constant so both signs specialize at trace time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pisa_tpu.core.param import Param, ParamSet
+from pisa_tpu.core.stage import Stage
+from pisa_tpu.ops.flux import barr
+
+__all__ = ["barr_simple", "init_test"]
+
+_EGY_PIVOT = 24.0900951261  # GeV (cf. reference barr_simple.py)
+
+
+def _apply_ratio_scale_sum_constant(ratio_scale, in1, in2):
+    """Scale the in1/in2 ratio keeping in1+in2 fixed; (0,0) stays (0,0)
+    (cf. reference ``apply_ratio_scale``)."""
+    denom = jnp.where(in2 != 0, in2, 1.0)
+    orig_ratio = in1 / denom
+    orig_sum = in1 + in2
+    new2 = orig_sum / (1.0 + ratio_scale * orig_ratio)
+    new1 = ratio_scale * orig_ratio * new2
+    both_zero = (in1 == 0) & (in2 == 0)
+    return (
+        jnp.where(both_zero, 0.0, new1),
+        jnp.where(both_zero, 0.0, new2),
+    )
+
+
+class barr_simple(Stage):  # noqa: N801
+    """Params: nue_numu_ratio, nu_nubar_ratio, delta_index, Barr_uphor_ratio,
+    Barr_nu_nubar_ratio."""
+
+    def __init__(self, **std_kwargs):
+        super().__init__(
+            expected_params=(
+                "nue_numu_ratio",
+                "nu_nubar_ratio",
+                "delta_index",
+                "Barr_uphor_ratio",
+                "Barr_nu_nubar_ratio",
+            ),
+            expected_container_keys=(
+                "true_energy",
+                "true_coszen",
+                "nu_flux_nominal",
+                "nubar_flux_nominal",
+                "nubar",
+            ),
+            **std_kwargs,
+        )
+
+    def compute_function(self):
+        p = self.params
+        nue_numu_ratio = p.nue_numu_ratio.m_as("dimensionless")
+        nu_nubar_ratio = p.nu_nubar_ratio.m_as("dimensionless")
+        delta_index = p.delta_index.m_as("dimensionless")
+        uphor = p.Barr_uphor_ratio.m_as("dimensionless")
+        barr_nubar = p.Barr_nu_nubar_ratio.m_as("dimensionless")
+
+        for container in self.data:
+            energy = jnp.asarray(container["true_energy"])
+            coszen = jnp.asarray(container["true_coszen"])
+            nu_flux = jnp.asarray(container["nu_flux_nominal"])
+            nubar_flux = jnp.asarray(container["nubar_flux_nominal"])
+            nubar = int(container["nubar"])
+
+            # nue/numu ratio on both nu and nubar nominal pairs
+            nu_e, nu_mu = _apply_ratio_scale_sum_constant(
+                nue_numu_ratio, nu_flux[:, 0], nu_flux[:, 1]
+            )
+            nub_e, nub_mu = _apply_ratio_scale_sum_constant(
+                nue_numu_ratio, nubar_flux[:, 0], nubar_flux[:, 1]
+            )
+
+            # spectral index
+            idx_scale = barr.spectral_index_scale(
+                energy, _EGY_PIVOT, delta_index
+            )
+            nu_e, nu_mu = nu_e * idx_scale, nu_mu * idx_scale
+            nub_e, nub_mu = nub_e * idx_scale, nub_mu * idx_scale
+
+            # nu/nubar ratio per flavor
+            e_nu, e_nub = _apply_ratio_scale_sum_constant(
+                nu_nubar_ratio, nu_e, nub_e
+            )
+            mu_nu, mu_nub = _apply_ratio_scale_sum_constant(
+                nu_nubar_ratio, nu_mu, nub_mu
+            )
+            if nubar < 0:
+                out_e, out_mu = e_nub, mu_nub
+            else:
+                out_e, out_mu = e_nu, mu_nu
+
+            # Barr modifications
+            out_e = out_e * barr.mod_ratio_nubar(
+                nubar, 0, energy, coszen, barr_nubar
+            )
+            out_mu = out_mu * barr.mod_ratio_nubar(
+                nubar, 1, energy, coszen, barr_nubar
+            )
+            out_e = out_e * barr.mod_ratio_uphor(0, energy, coszen, uphor)
+            out_mu = out_mu * barr.mod_ratio_uphor(1, energy, coszen, uphor)
+
+            container["nu_flux"] = jnp.stack([out_e, out_mu], axis=1)
+            container.mark_changed("nu_flux")
+
+
+def init_test(**param_kwargs):
+    """Instantiation example."""
+    param_set = ParamSet(
+        [
+            Param(name="nue_numu_ratio", value=1.0, **param_kwargs),
+            Param(name="nu_nubar_ratio", value=1.0, **param_kwargs),
+            Param(name="delta_index", value=0.0, **param_kwargs),
+            Param(name="Barr_uphor_ratio", value=0.0, **param_kwargs),
+            Param(name="Barr_nu_nubar_ratio", value=0.0, **param_kwargs),
+        ]
+    )
+    return barr_simple(params=param_set)

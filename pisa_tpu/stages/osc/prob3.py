@@ -1,0 +1,418 @@
+"""
+Three-flavor matter-oscillation service (cf. reference
+``pisa/stages/osc/prob3.py:37``): computes P(nu_e -> flav) and
+P(nu_mu -> flav) per event/grid-point through Earth-layer chains and applies
+``weights *= flux_e * P_e + flux_mu * P_mu``.
+
+Options mirror the reference: NLO CC potential, NSI ('standard' /
+'vacuum-like'), reparameterized mixing matrix, neutrino decay, Earth
+tomography, and LRI. The propagation itself is the jitted split-complex
+kernel (:func:`pisa_tpu.ops.osc.kernels.osc_probs_layers`), batched over all
+points of a container; flavor-independent layer chains are computed once for
+linked containers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pisa_tpu import FTYPE, ureg
+from pisa_tpu.core.param import Param, ParamSet
+from pisa_tpu.core.stage import Stage
+from pisa_tpu.ops.cplx import C
+from pisa_tpu.ops.osc.kernels import osc_probs_layers
+from pisa_tpu.ops.osc.layers import Layers
+from pisa_tpu.ops.osc.nonstandard import (
+    Core_scaling_w_constrain,
+    Core_scaling_wo_constrain,
+    DecayParams,
+    FIVE_LAYER_RADII_KM,
+    FIVE_LAYER_RHOS,
+    LRIParams,
+    Mass_scaling,
+    StdNSIParams,
+    TOMOGRAPHY_ERROR_MSG,
+    VacuumLikeNSIParams,
+)
+from pisa_tpu.ops.osc.pmns import OscParams
+from pisa_tpu.utils.log import logging
+
+__all__ = ["prob3", "init_test", "LRI_TYPES", "NSI_TYPES", "TOMOGRAPHY_TYPES"]
+
+LRI_TYPES = ["emu-symmetry", "etau-symmetry", "mutau-symmetry"]
+NSI_TYPES = ["standard", "vacuum-like"]
+TOMOGRAPHY_TYPES = [
+    "mass_of_earth",
+    "mass_of_core_w_constrain",
+    "mass_of_core_wo_constrain",
+]
+
+_ALL_FLAVS = [
+    "nue_cc", "numu_cc", "nutau_cc", "nue_nc", "numu_nc", "nutau_nc",
+    "nuebar_cc", "numubar_cc", "nutaubar_cc", "nuebar_nc", "numubar_nc",
+    "nutaubar_nc",
+]
+_NU_FLAVS = _ALL_FLAVS[:6]
+_NUBAR_FLAVS = _ALL_FLAVS[6:]
+
+
+class prob3(Stage):  # noqa: N801
+    """See module docstring; parameters as in the reference
+    (``prob3.py:124-161``)."""
+
+    def __init__(
+        self,
+        include_nlo=False,
+        nsi_type=None,
+        reparam_mix_matrix=False,
+        neutrino_decay=False,
+        tomography_type=None,
+        lri_type=None,
+        **std_kwargs,
+    ):
+        expected_params = [
+            "detector_depth",
+            "earth_model",
+            "prop_height",
+            "YeI",
+            "YeO",
+            "YeM",
+            "theta12",
+            "theta13",
+            "theta23",
+            "deltam21",
+            "deltam31",
+            "deltacp",
+        ]
+
+        self.include_nlo = include_nlo
+
+        if nsi_type is not None:
+            nsi_type = nsi_type.strip().lower()
+            if nsi_type not in NSI_TYPES:
+                raise ValueError(
+                    f"nsi_type {nsi_type!r} invalid; choose from {NSI_TYPES}"
+                )
+        self.nsi_type = nsi_type
+        self.reparam_mix_matrix = reparam_mix_matrix
+        self.neutrino_decay = neutrino_decay
+
+        if nsi_type == "vacuum-like":
+            expected_params += [
+                "eps_scale", "eps_prime", "phi12", "phi13", "phi23",
+                "alpha1", "alpha2", "deltansi",
+            ]
+        elif nsi_type == "standard":
+            expected_params += [
+                "eps_ee", "eps_emu_magn", "eps_emu_phase", "eps_etau_magn",
+                "eps_etau_phase", "eps_mumu", "eps_mutau_magn",
+                "eps_mutau_phase", "eps_tautau",
+            ]
+        if neutrino_decay:
+            expected_params += ["decay_alpha3"]
+
+        if lri_type is not None:
+            lri_type = lri_type.strip().lower()
+            if lri_type not in LRI_TYPES:
+                raise ValueError(
+                    f"lri_type {lri_type!r} invalid; choose from {LRI_TYPES}"
+                )
+            expected_params += ["v_lri"]
+        self.lri_type = lri_type
+
+        if tomography_type is not None:
+            tomography_type = tomography_type.strip().lower()
+            if tomography_type not in TOMOGRAPHY_TYPES:
+                raise ValueError(
+                    f"tomography_type {tomography_type!r} invalid; choose"
+                    f" from {TOMOGRAPHY_TYPES}"
+                )
+            if tomography_type == "mass_of_earth":
+                expected_params += ["density_scale"]
+            elif tomography_type == "mass_of_core_w_constrain":
+                expected_params += ["core_density_scale"]
+            else:
+                expected_params += [
+                    "core_density_scale",
+                    "innermantle_density_scale",
+                    "middlemantle_density_scale",
+                ]
+        self.tomography_type = tomography_type
+
+        super().__init__(
+            expected_params=tuple(expected_params),
+            expected_container_keys=(
+                "true_energy",
+                "true_coszen",
+                "nubar",
+                "flav",
+                "nu_flux",
+                "weights",
+            ),
+            **std_kwargs,
+        )
+
+        self.layers = None
+        self.osc_params = None
+        self.nsi_params = None
+        self.decay_params = None
+        self.lri_params = None
+        self.tomography_params = None
+        self.YeI = self.YeO = self.YeM = None
+
+    # -- setup ---------------------------------------------------------------
+    def setup_function(self):
+        self.osc_params = OscParams()
+        if self.nsi_type == "vacuum-like":
+            self.nsi_params = VacuumLikeNSIParams()
+        elif self.nsi_type == "standard":
+            self.nsi_params = StdNSIParams()
+        if self.neutrino_decay:
+            self.decay_params = DecayParams()
+        if self.lri_type is not None:
+            self.lri_params = LRIParams()
+
+        earth_model = self.params.earth_model.value
+        self.YeI = self.params.YeI.m_as("dimensionless")
+        self.YeO = self.params.YeO.m_as("dimensionless")
+        self.YeM = self.params.YeM.m_as("dimensionless")
+        prop_height = self.params.prop_height.m_as("km")
+        detector_depth = self.params.detector_depth.m_as("km")
+        self.layers = Layers(earth_model, detector_depth, prop_height)
+        self.layers.setElecFrac(self.YeI, self.YeO, self.YeM)
+
+        if self.tomography_type == "mass_of_earth":
+            self.tomography_params = Mass_scaling()
+        elif self.tomography_type is not None:
+            radii_ext = self.layers.radii[::-1][:-1]
+            rhos_ext = self.layers.rhos_unweighted[::-1][:-1]
+            if not (
+                len(radii_ext) == len(FIVE_LAYER_RADII_KM)
+                and np.allclose(radii_ext, FIVE_LAYER_RADII_KM)
+                and np.allclose(rhos_ext, FIVE_LAYER_RHOS)
+            ):
+                raise ValueError(TOMOGRAPHY_ERROR_MSG)
+            if self.tomography_type == "mass_of_core_w_constrain":
+                self.tomography_params = Core_scaling_w_constrain()
+            else:
+                self.tomography_params = Core_scaling_wo_constrain()
+
+        self._calc_layers_into_containers()
+
+        # probability outputs
+        if self.is_map:
+            self.data.link_containers("nu", _NU_FLAVS)
+            self.data.link_containers("nubar", _NUBAR_FLAVS)
+        for container in self.data:
+            container["probability"] = np.empty(
+                (container.size, 3, 3), dtype=FTYPE
+            )
+        self.data.unlink_containers()
+        for container in self.data:
+            container["prob_e"] = np.empty(container.size, dtype=FTYPE)
+            container["prob_mu"] = np.empty(container.size, dtype=FTYPE)
+
+    def _calc_layers_into_containers(self):
+        if self.is_map:
+            # layers are flavor-independent: compute once for all categories
+            self.data.link_containers("nu", _ALL_FLAVS)
+        for container in self.data:
+            self.layers.calcLayers(np.asarray(container["true_coszen"]))
+            container["densities"] = self.layers.density.reshape(
+                (container.size, self.layers.max_layers)
+            )
+            container["distances"] = self.layers.distance.reshape(
+                (container.size, self.layers.max_layers)
+            )
+        self.data.unlink_containers()
+
+    # -- compute --------------------------------------------------------------
+    def compute_function(self):
+        if self.is_map:
+            self.data.link_containers("nu", _NU_FLAVS)
+            self.data.link_containers("nubar", _NUBAR_FLAVS)
+
+        # re-derive layers if electron fractions changed
+        YeI = self.params.YeI.m_as("dimensionless")
+        YeO = self.params.YeO.m_as("dimensionless")
+        YeM = self.params.YeM.m_as("dimensionless")
+        if (YeI, YeO, YeM) != (self.YeI, self.YeO, self.YeM):
+            self.YeI, self.YeO, self.YeM = YeI, YeO, YeM
+            self.data.unlink_containers()
+            self.layers.setElecFrac(YeI, YeO, YeM)
+            self._calc_layers_into_containers()
+            if self.is_map:
+                self.data.link_containers("nu", _NU_FLAVS)
+                self.data.link_containers("nubar", _NUBAR_FLAVS)
+
+        # angles must carry units (cf. reference prob3.py:480-482)
+        for angle in (
+            self.params.theta12,
+            self.params.theta13,
+            self.params.theta23,
+            self.params.deltacp,
+        ):
+            if angle.value.units == ureg.dimensionless:
+                raise ValueError(
+                    f"{angle.name} is dimensionless; give rad or deg"
+                )
+
+        op = self.osc_params
+        op.theta12 = self.params.theta12.m_as("rad")
+        op.theta13 = self.params.theta13.m_as("rad")
+        op.theta23 = self.params.theta23.m_as("rad")
+        op.dm21 = self.params.deltam21.m_as("eV**2")
+        op.dm31 = self.params.deltam31.m_as("eV**2")
+        op.deltacp = self.params.deltacp.m_as("rad")
+
+        if self.nsi_type == "vacuum-like":
+            n = self.nsi_params
+            n.eps_scale = self.params.eps_scale.m_as("dimensionless")
+            n.eps_prime = self.params.eps_prime.m_as("dimensionless")
+            n.phi12 = self.params.phi12.m_as("rad")
+            n.phi13 = self.params.phi13.m_as("rad")
+            n.phi23 = self.params.phi23.m_as("rad")
+            n.alpha1 = self.params.alpha1.m_as("rad")
+            n.alpha2 = self.params.alpha2.m_as("rad")
+            n.deltansi = self.params.deltansi.m_as("rad")
+        elif self.nsi_type == "standard":
+            n = self.nsi_params
+            n.eps_ee = self.params.eps_ee.m_as("dimensionless")
+            n.eps_emu = (
+                self.params.eps_emu_magn.m_as("dimensionless"),
+                self.params.eps_emu_phase.m_as("rad"),
+            )
+            n.eps_etau = (
+                self.params.eps_etau_magn.m_as("dimensionless"),
+                self.params.eps_etau_phase.m_as("rad"),
+            )
+            n.eps_mumu = self.params.eps_mumu.m_as("dimensionless")
+            n.eps_mutau = (
+                self.params.eps_mutau_magn.m_as("dimensionless"),
+                self.params.eps_mutau_phase.m_as("rad"),
+            )
+            n.eps_tautau = self.params.eps_tautau.m_as("dimensionless")
+
+        if self.neutrino_decay:
+            self.decay_params.decay_alpha3 = self.params.decay_alpha3.m_as(
+                "eV**2"
+            )
+        if self.lri_type is not None:
+            self.lri_params.v_lri = self.params.v_lri.m_as("eV")
+
+        if self.tomography_type is not None:
+            if self.tomography_type == "mass_of_earth":
+                self.tomography_params.density_scale = (
+                    self.params.density_scale.m_as("dimensionless")
+                )
+                self.layers.scaling(self.tomography_params.density_scale)
+            elif self.tomography_type == "mass_of_core_w_constrain":
+                self.tomography_params.core_density_scale = (
+                    self.params.core_density_scale.m_as("dimensionless")
+                )
+                self.layers.scaling(self.tomography_params.scaling_array)
+            else:
+                tp = self.tomography_params
+                tp.core_density_scale = self.params.core_density_scale.m_as(
+                    "dimensionless"
+                )
+                tp.innermantle_density_scale = (
+                    self.params.innermantle_density_scale.m_as("dimensionless")
+                )
+                tp.middlemantle_density_scale = (
+                    self.params.middlemantle_density_scale.m_as("dimensionless")
+                )
+                self.layers.scaling(tp.scaling_factor_array)
+            self.data.unlink_containers()
+            self.layers.setElecFrac(self.YeI, self.YeO, self.YeM)
+            self._calc_layers_into_containers()
+            if self.is_map:
+                self.data.link_containers("nu", _NU_FLAVS)
+                self.data.link_containers("nubar", _NUBAR_FLAVS)
+
+        # generalized matter potential
+        std_mat_pot = np.zeros((3, 3), dtype=np.complex128)
+        std_mat_pot[0, 0] = 1.020 if self.include_nlo else 1.0
+        if self.nsi_type is not None:
+            mat_pot = std_mat_pot + self.nsi_params.eps_matrix
+        else:
+            mat_pot = std_mat_pot
+
+        mat_decay = (
+            self.decay_params.decay_matrix
+            if self.neutrino_decay
+            else np.zeros((3, 3), dtype=np.complex128)
+        )
+        lri_pot = np.zeros((3, 3))
+        if self.lri_type == "emu-symmetry":
+            lri_pot = self.lri_params.potential_matrix_emu
+        elif self.lri_type == "etau-symmetry":
+            lri_pot = self.lri_params.potential_matrix_etau
+        elif self.lri_type == "mutau-symmetry":
+            lri_pot = self.lri_params.potential_matrix_mutau
+
+        if self.reparam_mix_matrix:
+            mix = self.osc_params.mix_matrix_reparam_complex
+        else:
+            mix = self.osc_params.mix_matrix_complex
+        dm = self.osc_params.dm_matrix
+
+        for container in self.data:
+            probs = osc_probs_layers(
+                np.asarray(dm, dtype=FTYPE),
+                C.of(mix.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
+                C.of(mat_pot.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
+                C.of(mat_decay.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
+                np.asarray(lri_pot, dtype=FTYPE),
+                int(container["nubar"]),
+                jnp.asarray(container["true_energy"], dtype=FTYPE),
+                jnp.asarray(container["densities"], dtype=FTYPE),
+                jnp.asarray(container["distances"], dtype=FTYPE),
+                decay_flag=bool(self.neutrino_decay),
+            )
+            container["probability"] = probs
+            container.mark_changed("probability")
+
+        self.data.unlink_containers()
+
+        # per-flavor projections: P(e -> flav), P(mu -> flav)
+        for container in self.data:
+            flav = int(container["flav"])
+            probs = container["probability"]
+            container["prob_e"] = probs[:, 0, flav]
+            container["prob_mu"] = probs[:, 1, flav]
+            container.mark_changed("prob_e")
+            container.mark_changed("prob_mu")
+
+    def apply_function(self):
+        for container in self.data:
+            nu_flux = container["nu_flux"]
+            container["weights"] = container["weights"] * (
+                nu_flux[:, 0] * container["prob_e"]
+                + nu_flux[:, 1] * container["prob_mu"]
+            )
+
+
+def init_test(**param_kwargs):
+    """Instantiation example."""
+    param_set = ParamSet(
+        [
+            Param(name="detector_depth", value=10 * ureg.km, **param_kwargs),
+            Param(name="prop_height", value=18 * ureg.km, **param_kwargs),
+            Param(
+                name="earth_model", value="osc/PREM_4layer.dat", **param_kwargs
+            ),
+            Param(name="YeI", value=0.5, **param_kwargs),
+            Param(name="YeO", value=0.5, **param_kwargs),
+            Param(name="YeM", value=0.5, **param_kwargs),
+            Param(name="theta12", value=33 * ureg.degree, **param_kwargs),
+            Param(name="theta13", value=8 * ureg.degree, **param_kwargs),
+            Param(name="theta23", value=50 * ureg.degree, **param_kwargs),
+            Param(name="deltam21", value=8e-5 * ureg.eV**2, **param_kwargs),
+            Param(name="deltam31", value=3e-3 * ureg.eV**2, **param_kwargs),
+            Param(name="deltacp", value=180 * ureg.degree, **param_kwargs),
+        ]
+    )
+    return prob3(include_nlo=True, params=param_set)

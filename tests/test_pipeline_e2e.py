@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests (cf. reference
+``pisa_tests/test_example_pipelines.py`` + embedded ``test_Pipeline``):
+build pipelines from packaged configs, evaluate templates, validate physics
+and orchestration semantics."""
+
+import numpy as np
+import pytest
+
+from pisa_tpu import ureg
+from pisa_tpu.core.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def osc_pipeline():
+    cfg = "settings/pipeline/osc_example_coarse.cfg"
+    return Pipeline(cfg)
+
+
+class TestOscExamplePipeline:
+    def test_structure(self, osc_pipeline):
+        p = osc_pipeline
+        assert len(p.stages) == 3
+        assert [s.stage_name for s in p.stages] == ["data", "flux", "osc"]
+        assert "theta23" in p.params.names
+        assert set(p.params.free.names) == {"delta_index", "theta23"}
+
+    def test_param_sharing(self, osc_pipeline):
+        # same-named params across stages are one object
+        p = osc_pipeline
+        t23_osc = p["osc"].params["theta23"]
+        assert p.params["theta23"] is t23_osc
+
+    def test_oscillogram_physics(self, osc_pipeline):
+        maps = osc_pipeline.get_outputs()
+        assert len(maps) == 12
+        numu = maps["numu_cc"].hist
+        assert numu.shape == (50, 50)
+        # toy flux is (0, 1): weights = P(numu -> flav); unitarity across flavors
+        tot = (
+            maps["nue_cc"].hist + maps["numu_cc"].hist + maps["nutau_cc"].hist
+        )
+        np.testing.assert_allclose(tot, 1.0, atol=1e-10)
+        # strong disappearance dip at upgoing ~25 GeV
+        E = np.logspace(0, 3, 51)
+        Ec = np.sqrt(E[:-1] * E[1:])
+        dip_E = Ec[np.argmin(numu[:, 0])]
+        assert 15 < dip_E < 40, dip_E
+        assert numu.min() < 0.05  # deep dip
+        # nubar maps differ from nu maps (matter effects)
+        assert not np.allclose(
+            maps["numu_cc"].hist, maps["numubar_cc"].hist, atol=1e-3
+        )
+
+    def test_selector_switching(self, osc_pipeline):
+        p = osc_pipeline
+        nh = p.get_outputs()
+        p.select_params("ih")
+        assert p.params["deltam31"].value.magnitude < 0
+        ih = p.get_outputs()
+        assert not np.allclose(nh["numu_cc"].hist, ih["numu_cc"].hist)
+        p.select_params("nh")
+        nh2 = p.get_outputs()
+        np.testing.assert_allclose(nh["numu_cc"].hist, nh2["numu_cc"].hist)
+
+    def test_compute_cache(self, osc_pipeline):
+        """Second evaluation with unchanged params reuses stage caches."""
+        p = osc_pipeline
+        m1 = p.get_outputs()
+        osc_stage = p["osc"]
+        h = osc_stage.param_hash
+        m2 = p.get_outputs()
+        assert osc_stage.param_hash == h
+        np.testing.assert_allclose(m1["numu_cc"].hist, m2["numu_cc"].hist)
+
+    def test_free_param_changes_template(self, osc_pipeline):
+        p = osc_pipeline
+        base = p.get_outputs()["numu_cc"].hist.copy()
+        t23 = p.params["theta23"]
+        orig = t23.value
+        t23.value = 50 * ureg.degree
+        changed = p.get_outputs()["numu_cc"].hist
+        t23.value = orig
+        assert not np.allclose(base, changed)
+
+    def test_rerun_after_reset(self, osc_pipeline):
+        p = osc_pipeline
+        m1 = p.get_outputs()["numu_cc"].hist.copy()
+        p.setup()
+        m2 = p.get_outputs()["numu_cc"].hist
+        np.testing.assert_allclose(m1, m2)
