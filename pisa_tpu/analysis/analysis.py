@@ -1,0 +1,816 @@
+"""
+Analysis: fitting hypothesis templates to data distributions.
+
+Rebuild of reference ``pisa/analysis/analysis.py:121,486,854``. Supported fit
+methods (dispatched by :meth:`BasicAnalysis.fit_recursively`):
+
+- 'scipy'    : scipy.optimize local & global minimizers over the [0,1]
+               rescaled free-param space (cf. ``_fit_scipy``,
+               ``analysis.py:1561``). When the hypo maker is compilable,
+               gradient-based methods use *analytic* jacobians from the
+               jitted template (the reference burns ~2N finite-difference
+               templates per step).
+- 'gradient' : pure compiled-path fit: jitted value+grad objective into
+               scipy L-BFGS-B/SLSQP/trust-constr (TPU-first addition).
+- 'octants'  : fit both theta23 octants, keep the better
+               (cf. ``_fit_octants``).
+- 'best_of', 'ranges', 'grid_scan', 'condition', 'staged', 'constrained':
+  recursive strategies mirroring the reference.
+
+The objective follows the reference convention: metric total over maps plus
+prior penalties, sign-flipped for llh-family metrics so scipy always
+minimizes (``analysis.py:2493,2545-2556``).
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from collections import OrderedDict
+
+import numpy as np
+import scipy.optimize as spo
+
+from pisa_tpu import ureg
+from pisa_tpu.core.map import Map, MapSet
+from pisa_tpu.core.param import ParamSet
+from pisa_tpu.utils import stats
+from pisa_tpu.utils.log import logging
+from pisa_tpu.analysis.manipulate_params import (
+    BoundedRandomDisplacement,
+    get_separate_octant_params,
+    update_param_values,
+)
+
+__all__ = ["Counter", "HypoFitResult", "BasicAnalysis", "Analysis"]
+
+LOCAL_SCIPY_METHODS = (
+    "l-bfgs-b",
+    "slsqp",
+    "nelder-mead",
+    "cobyla",
+    "powell",
+    "trust-constr",
+)
+GLOBAL_SCIPY_METHODS = (
+    "basinhopping",
+    "differential_evolution",
+    "dual_annealing",
+    "shgo",
+)
+GRADIENT_METHODS = ("l-bfgs-b", "slsqp", "trust-constr")
+
+
+class Counter:
+    """Mutable call counter (cf. reference ``analysis.py:97``)."""
+
+    def __init__(self, i=0):
+        self._count = i
+
+    def __iadd__(self, inc):
+        self._count += inc
+        return self
+
+    def reset(self):
+        self._count = 0
+
+    @property
+    def count(self):
+        return self._count
+
+    def __int__(self):
+        return self._count
+
+    def __str__(self):
+        return str(self._count)
+
+
+class HypoFitResult:
+    """Record of a single hypothesis fit (cf. reference ``analysis.py:121``)."""
+
+    _state_attrs = (
+        "metric",
+        "metric_val",
+        "params",
+        "param_selections",
+        "hypo_asimov_dist",
+        "detailed_metric_info",
+        "minimizer_time",
+        "num_distributions_generated",
+        "minimizer_metadata",
+        "fit_history",
+    )
+
+    def __init__(
+        self,
+        metric=None,
+        metric_val=None,
+        data_dist=None,
+        hypo_maker=None,
+        minimizer_time=None,
+        minimizer_metadata=None,
+        fit_history=None,
+        num_distributions_generated=None,
+        include_detailed_metric_info=False,
+        counter=None,
+    ):
+        self.metric = metric
+        self.metric_val = metric_val
+        self.param_selections = None
+        self.params = None
+        self.hypo_asimov_dist = None
+        self.detailed_metric_info = None
+        self.minimizer_time = (
+            minimizer_time * ureg.sec if minimizer_time is not None else None
+        )
+        self.minimizer_metadata = minimizer_metadata
+        self.fit_history = fit_history
+        self.num_distributions_generated = (
+            num_distributions_generated
+            if num_distributions_generated is not None
+            else (int(counter) if counter is not None else None)
+        )
+
+        if hypo_maker is not None:
+            self.params = ParamSet(
+                [_copy_param(p) for p in hypo_maker.params]
+            )
+            self.param_selections = list(
+                getattr(hypo_maker, "param_selections", [])
+            )
+            # regenerate the best-fit distribution (cf. reference :177)
+            self.hypo_asimov_dist = hypo_maker.get_outputs(return_sum=True)
+        if (
+            include_detailed_metric_info
+            and data_dist is not None
+            and self.hypo_asimov_dist is not None
+        ):
+            self.detailed_metric_info = self.get_detailed_metric_info(
+                data_dist, self.hypo_asimov_dist, hypo_maker.params, metric
+            )
+
+    @staticmethod
+    def get_detailed_metric_info(data_dist, hypo_asimov_dist, params, metric):
+        """Per-map metric contributions + prior penalties
+        (cf. reference ``analysis.py:373``)."""
+        if isinstance(metric, (list, tuple)):
+            metric = metric[0]
+        info = OrderedDict()
+        if isinstance(data_dist, MapSet) and isinstance(
+            hypo_asimov_dist, MapSet
+        ):
+            info["maps"] = data_dist.metric_per_map(hypo_asimov_dist, metric)
+        priors = params.priors_penalties(metric)
+        info["priors"] = dict(zip(params.names, priors))
+        info["metric"] = metric
+        return info
+
+    @property
+    def state(self):
+        state = OrderedDict()
+        for attr in self._state_attrs:
+            val = getattr(self, attr)
+            if attr == "params" and val is not None:
+                val = val.state
+            elif attr == "hypo_asimov_dist" and val is not None:
+                val = (
+                    [m.state for m in val]
+                    if isinstance(val, MapSet)
+                    else val
+                )
+            state[attr] = val
+        return state
+
+    @classmethod
+    def from_state(cls, state):
+        obj = cls()
+        for attr in cls._state_attrs:
+            if attr in state:
+                setattr(obj, attr, state[attr])
+        return obj
+
+    def __str__(self):
+        return (
+            f"HypoFitResult(metric={self.metric},"
+            f" metric_val={self.metric_val},"
+            f" n_distributions={self.num_distributions_generated})"
+        )
+
+    __repr__ = __str__
+
+
+def _copy_param(p):
+    """Deep-copy a Param without sharing identity."""
+    from pisa_tpu.core.param import DerivedParam, Param
+
+    if isinstance(p, DerivedParam):
+        new = DerivedParam(
+            name=p.name,
+            value=p.value,
+            depends_names=p.depends_names,
+            function=p.function,
+            tex=p._tex,
+        )
+        return new
+    new = Param(
+        name=p.name,
+        value=p.value,
+        prior=p.prior,
+        range=p.range,
+        is_fixed=p.is_fixed,
+        is_discrete=p.is_discrete,
+        scales_as_log=p.scales_as_log,
+        tex=p._tex,
+    )
+    # bypass validation: the nominal may lie outside a temporarily-restricted
+    # range (e.g. during octant fits; cf. reference analysis.py:1054-1062)
+    new._nominal_value = p.nominal_value
+    return new
+
+
+class BasicAnalysis:
+    """Fitting driver (cf. reference ``analysis.py:486,2685``)."""
+
+    def __init__(self):
+        self.blindness = False
+        self._compiled_cache = {}
+
+    # ------------------------------------------------------------------ utils
+    @staticmethod
+    def _metric_name(metric):
+        if isinstance(metric, (list, tuple)):
+            metric = metric[0]
+        metric = str(metric).strip().lower()
+        if metric not in stats.ALL_METRICS:
+            raise ValueError(f"Unknown metric {metric!r}")
+        return metric
+
+    def _get_compiled(self, hypo_maker):
+        """Compiled distribution for `hypo_maker`, rebuilt when the free-param
+        set or selections change."""
+        from pisa_tpu.analysis.gradient import CompiledDistribution
+
+        key = (
+            id(hypo_maker),
+            tuple(hypo_maker.params.free.names),
+            tuple(getattr(hypo_maker, "param_selections", [])),
+            tuple(str(p.value) for p in hypo_maker.params.fixed),
+            # ranges define the [0,1] rescaling baked into the trace; octant
+            # and ranges strategies change them mid-fit
+            tuple(
+                (str(p.range[0]), str(p.range[1]), p.scales_as_log)
+                for p in hypo_maker.params.free
+            ),
+        )
+        if key not in self._compiled_cache:
+            self._compiled_cache[key] = CompiledDistribution(hypo_maker)
+        return self._compiled_cache[key]
+
+    def _data_total(self, data_dist):
+        if isinstance(data_dist, MapSet):
+            return data_dist
+        if isinstance(data_dist, Map):
+            return MapSet([data_dist])
+        return data_dist
+
+    # ---------------------------------------------------------------- objective
+    def _minimizer_callable(
+        self, rescaled_vec, hypo_maker, data_dist, metric, counter, fit_history
+    ):
+        """Eager objective (cf. reference ``analysis.py:2493``)."""
+        metric = self._metric_name(metric)
+        hypo_maker._set_rescaled_free_params(rescaled_vec)
+        hypo_asimov_dist = hypo_maker.get_outputs(return_sum=True)
+        counter += 1
+
+        data_total = self._data_total(data_dist)
+        try:
+            metric_val = data_total.metric_total(
+                hypo_asimov_dist, metric
+            ) + hypo_maker.params.priors_penalty(metric=metric)
+        except Exception:
+            logging.exception("Metric evaluation failed")
+            metric_val = np.inf if not stats.is_metric_to_maximize(metric) else -np.inf
+
+        sign = -1.0 if stats.is_metric_to_maximize(metric) else +1.0
+        out = sign * metric_val
+        if fit_history is not None:
+            fit_history.append(
+                [metric_val] + list(np.asarray(rescaled_vec, dtype=float))
+            )
+        return out
+
+    # ------------------------------------------------------------- entry point
+    def fit_recursively(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method, method_kwargs=None, local_fit_kwargs=None,
+    ):
+        """Recursive fit dispatch (cf. reference ``analysis.py:854``)."""
+        if isinstance(metric, str):
+            metric = [metric]
+
+        # shortcut when data == current hypo (cf. reference :928-959)
+        fn = getattr(self, f"_fit_{method}", None)
+        if fn is None:
+            raise ValueError(f"Unknown fit method {method!r}")
+        return fn(
+            data_dist,
+            hypo_maker,
+            metric,
+            external_priors_penalty,
+            method_kwargs or {},
+            local_fit_kwargs,
+        )
+
+    # alias used by reference-style calls
+    def fit_hypo(
+        self, data_dist, hypo_maker, metric, minimizer_settings=None, **kw
+    ):
+        method = (minimizer_settings or {}).get("method", "scipy")
+        method_kwargs = (minimizer_settings or {}).get("method_kwargs", {})
+        return self.fit_recursively(
+            data_dist, hypo_maker, metric, None, method, method_kwargs, None
+        )
+
+    # -------------------------------------------------------------- strategies
+    def _fit_best_of(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Run several local fits, keep the best (cf. ``analysis.py:1094``)."""
+        results = []
+        for settings in local_fit_kwargs:
+            hypo_maker.reset_free()
+            result = self.fit_recursively(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                settings["method"], settings.get("method_kwargs"),
+                settings.get("local_fit_kwargs"),
+            )
+            results.append(result)
+        best = results[0]
+        for r in results[1:]:
+            if stats.it_got_better(r.metric_val, best.metric_val, metric[0]):
+                best = r
+        update_param_values(hypo_maker, best.params.free)
+        return best
+
+    def _fit_octants(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Fit both theta23 octants (cf. reference ``analysis.py:974``)."""
+        angle_name = method_kwargs.get("angle", "theta23")
+        inflection_point = method_kwargs.get(
+            "inflection_point", 45 * ureg.degree
+        )
+        reset_free = method_kwargs.get("reset_free", True)
+        if angle_name not in hypo_maker.params.free.names:
+            logging.debug(
+                "%s not free; running plain inner fit", angle_name
+            )
+            return self.fit_recursively(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                local_fit_kwargs["method"],
+                local_fit_kwargs.get("method_kwargs"),
+                local_fit_kwargs.get("local_fit_kwargs"),
+            )
+
+        octant = get_separate_octant_params(
+            hypo_maker, angle_name, inflection_point
+        )
+        angle = octant["angle"]
+
+        results = []
+        for case in ("first", "second"):
+            value, vrange = octant[case]
+            if reset_free:
+                hypo_maker.reset_free()
+            angle.range = vrange
+            angle.value = value
+            result = self.fit_recursively(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                local_fit_kwargs["method"],
+                local_fit_kwargs.get("method_kwargs"),
+                local_fit_kwargs.get("local_fit_kwargs"),
+            )
+            results.append(result)
+
+        # restore the original range on both fit results & the param
+        angle.range = octant["orig_range"]
+        best = results[0]
+        if stats.it_got_better(
+            results[1].metric_val, results[0].metric_val, metric[0]
+        ):
+            best = results[1]
+        # restore best-fit values on the hypo maker
+        best.params[angle_name].range = octant["orig_range"]
+        update_param_values(hypo_maker, best.params.free)
+        return best
+
+    def _fit_ranges(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Partition a param's range into sub-ranges, fit each, keep the best
+        (cf. reference ``analysis.py:1396``)."""
+        pname = method_kwargs["param_name"]
+        splits = method_kwargs["ranges"]
+        reset_free = method_kwargs.get("reset_free", True)
+        param = hypo_maker.params[pname]
+        orig_range = param.range
+        orig_value = param.value
+        results = []
+        for sub in splits:
+            if reset_free:
+                hypo_maker.reset_free()
+            lo, hi = sub
+            param.range = (lo, hi)
+            mid_val = orig_value
+            try:
+                param.value = mid_val
+            except ValueError:
+                param._rescaled_value = 0.5
+            result = self.fit_recursively(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                local_fit_kwargs["method"],
+                local_fit_kwargs.get("method_kwargs"),
+                local_fit_kwargs.get("local_fit_kwargs"),
+            )
+            results.append(result)
+        param.range = orig_range
+        best = results[0]
+        for r in results[1:]:
+            if stats.it_got_better(r.metric_val, best.metric_val, metric[0]):
+                best = r
+        best.params[pname].range = orig_range
+        update_param_values(hypo_maker, best.params.free)
+        return best
+
+    def _fit_grid_scan(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Scan a grid of param values; optionally refit at each point
+        (cf. reference ``analysis.py:1172``)."""
+        grid = method_kwargs["grid"]  # dict name -> list of Quantities
+        fix_grid_params = method_kwargs.get("fix_grid_params", True)
+
+        names = list(grid.keys())
+        meshes = np.meshgrid(
+            *[np.arange(len(v)) for v in grid.values()], indexing="ij"
+        )
+        combos = np.stack([m.ravel() for m in meshes], axis=1)
+
+        orig_fixed = {n: hypo_maker.params[n].is_fixed for n in names}
+        results = []
+        for combo in combos:
+            for n, idx in zip(names, combo):
+                hypo_maker.params[n].value = grid[n][int(idx)]
+                if fix_grid_params:
+                    hypo_maker.params[n].is_fixed = True
+            if local_fit_kwargs is not None:
+                result = self.fit_recursively(
+                    data_dist, hypo_maker, metric, external_priors_penalty,
+                    local_fit_kwargs["method"],
+                    local_fit_kwargs.get("method_kwargs"),
+                    local_fit_kwargs.get("local_fit_kwargs"),
+                )
+            else:
+                result = self._no_fit_result(
+                    data_dist, hypo_maker, metric, external_priors_penalty
+                )
+            results.append(result)
+        for n, was_fixed in orig_fixed.items():
+            hypo_maker.params[n].is_fixed = was_fixed
+
+        best = results[0]
+        for r in results[1:]:
+            if stats.it_got_better(r.metric_val, best.metric_val, metric[0]):
+                best = r
+        best.grid_scan_results = results
+        update_param_values(hypo_maker, best.params.free)
+        return best
+
+    def _fit_condition(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Pick a fit strategy by evaluating a condition on the hypo maker
+        (cf. reference ``analysis.py:1134``)."""
+        cond = method_kwargs["condition_func"]
+        if isinstance(cond, str):
+            cond_fn = eval(cond)  # noqa: S307 - reference-compatible lambda
+        else:
+            cond_fn = cond
+        idx = 0 if cond_fn(hypo_maker) else 1
+        settings = local_fit_kwargs[idx]
+        return self.fit_recursively(
+            data_dist, hypo_maker, metric, external_priors_penalty,
+            settings["method"], settings.get("method_kwargs"),
+            settings.get("local_fit_kwargs"),
+        )
+
+    def _fit_staged(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Sequential fits, each starting from the previous best
+        (cf. reference ``analysis.py:1497``)."""
+        result = None
+        for settings in local_fit_kwargs:
+            result = self.fit_recursively(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                settings["method"], settings.get("method_kwargs"),
+                settings.get("local_fit_kwargs"),
+            )
+            update_param_values(hypo_maker, result.params.free)
+        return result
+
+    def _fit_constrained(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Fit with an equality/inequality constraint expressed over params
+        (cf. reference ``analysis.py:1292``); delegates to scipy slsqp."""
+        constraint_func = method_kwargs["constraint_func"]
+        if isinstance(constraint_func, str):
+            expr = constraint_func
+
+            def constraint(vec, hm=hypo_maker):
+                hm._set_rescaled_free_params(vec)
+                ns = {p.name: p.value.magnitude for p in hm.params}
+                ns["np"] = np
+                return eval(expr, {"__builtins__": {}}, ns)  # noqa: S307
+        else:
+            def constraint(vec, hm=hypo_maker):
+                hm._set_rescaled_free_params(vec)
+                return constraint_func(hm)
+
+        inner = dict(local_fit_kwargs or {})
+        inner_kwargs = dict(inner.get("method_kwargs") or {})
+        inner_kwargs["constraints"] = [
+            {"type": method_kwargs.get("constraint_type", "eq"), "fun": constraint}
+        ]
+        inner_kwargs.setdefault("method", "slsqp")
+        return self._fit_scipy(
+            data_dist, hypo_maker, metric, external_priors_penalty,
+            inner_kwargs, None,
+        )
+
+    # --------------------------------------------------------------- local fits
+    def _no_fit_result(
+        self, data_dist, hypo_maker, metric, external_priors_penalty
+    ):
+        """Evaluate the metric at the current params without fitting."""
+        metric_name = self._metric_name(metric)
+        counter = Counter()
+        t0 = time.time()
+        hypo = hypo_maker.get_outputs(return_sum=True)
+        counter += 1
+        data_total = self._data_total(data_dist)
+        metric_val = data_total.metric_total(
+            hypo, metric_name
+        ) + hypo_maker.params.priors_penalty(metric=metric_name)
+        result = HypoFitResult(
+            metric=metric,
+            metric_val=metric_val,
+            data_dist=data_dist,
+            hypo_maker=hypo_maker,
+            minimizer_time=time.time() - t0,
+            counter=counter,
+        )
+        return result
+
+    def _fit_scipy(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """scipy.optimize fit over [0,1] rescaled free params
+        (cf. reference ``analysis.py:1561``)."""
+        method_kwargs = dict(method_kwargs or {})
+        algo = str(method_kwargs.pop("method", "l-bfgs-b")).strip().lower()
+        options = dict(method_kwargs.pop("options", {}))
+        constraints = method_kwargs.pop("constraints", ())
+        use_gradient = method_kwargs.pop(
+            "gradient", algo in GRADIENT_METHODS
+        )
+        metric_name = self._metric_name(metric)
+
+        free = hypo_maker.params.free
+        if len(free) == 0:
+            return self._no_fit_result(
+                data_dist, hypo_maker, metric, external_priors_penalty
+            )
+        x0 = np.asarray(free._rescaled_values, dtype=np.float64)
+        bounds = [(0.0, 1.0)] * len(x0)
+        counter = Counter()
+        fit_history = [["metric"] + list(free.names)]
+        t_start = time.time()
+
+        vg = None
+        if use_gradient and external_priors_penalty is None:
+            try:
+                compiled = self._get_compiled(hypo_maker)
+                _, vg = compiled.build_objective(
+                    self._data_total(data_dist), metric_name
+                )
+            except Exception as exc:
+                logging.info(
+                    "Compiled gradient path unavailable (%s); falling back"
+                    " to finite differences",
+                    exc,
+                )
+                vg = None
+
+        if vg is not None:
+            def fun(x):
+                nonlocal counter
+                counter += 1
+                val, grad = vg(np.asarray(x))
+                val = float(val)
+                fit_history.append([val] + list(np.asarray(x, dtype=float)))
+                return val, np.asarray(grad, dtype=np.float64)
+
+            jac = True
+        else:
+            def fun(x):
+                val = self._minimizer_callable(
+                    x, hypo_maker, data_dist, metric_name, counter, fit_history
+                )
+                if external_priors_penalty is not None:
+                    sign = (
+                        -1.0
+                        if stats.is_metric_to_maximize(metric_name)
+                        else 1.0
+                    )
+                    val = val + sign * external_priors_penalty(
+                        hypo_maker, metric_name
+                    )
+                return val
+
+            jac = None
+
+        if algo in GLOBAL_SCIPY_METHODS:
+            minimizer_kwargs = dict(
+                method="l-bfgs-b", bounds=bounds, jac=jac
+            )
+            if algo == "basinhopping":
+                take_step = BoundedRandomDisplacement(
+                    stepsize=options.pop("stepsize", 0.5)
+                )
+                opt_result = spo.basinhopping(
+                    fun,
+                    x0,
+                    minimizer_kwargs=minimizer_kwargs,
+                    take_step=take_step,
+                    **options,
+                )
+            elif algo == "differential_evolution":
+                opt_result = spo.differential_evolution(
+                    (lambda x: fun(x)[0]) if jac else fun,
+                    bounds=bounds,
+                    polish=True,
+                    **options,
+                )
+            elif algo == "dual_annealing":
+                opt_result = spo.dual_annealing(
+                    (lambda x: fun(x)[0]) if jac else fun,
+                    bounds=bounds,
+                    **options,
+                )
+            elif algo == "shgo":
+                opt_result = spo.shgo(
+                    (lambda x: fun(x)[0]) if jac else fun,
+                    bounds=bounds,
+                    **options,
+                )
+        else:
+            kwargs = dict(
+                method=algo, bounds=bounds, options=options
+            )
+            if constraints:
+                kwargs["constraints"] = constraints
+            if algo == "cobyla":
+                # COBYLA ignores bounds pre-scipy 1.11; supply as constraints
+                kwargs.pop("bounds", None)
+                cons = list(constraints) if constraints else []
+                for i in range(len(x0)):
+                    cons.append(
+                        {"type": "ineq", "fun": (lambda x, i=i: x[i])}
+                    )
+                    cons.append(
+                        {"type": "ineq", "fun": (lambda x, i=i: 1.0 - x[i])}
+                    )
+                kwargs["constraints"] = cons
+            if jac:
+                kwargs["jac"] = True
+            opt_result = spo.minimize(fun, x0, **kwargs)
+
+        minimizer_time = time.time() - t_start
+
+        # set best-fit params on the hypo maker (cf. reference :1947-1952)
+        best_x = np.clip(np.asarray(opt_result.x, dtype=np.float64), 0, 1)
+        hypo_maker._set_rescaled_free_params(best_x)
+
+        sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
+        metadata = {
+            "success": bool(getattr(opt_result, "success", True)),
+            "message": str(getattr(opt_result, "message", "")),
+            "nit": int(getattr(opt_result, "nit", -1)),
+            "nfev": int(getattr(opt_result, "nfev", -1)),
+            "method": algo,
+        }
+
+        result = HypoFitResult(
+            metric=metric,
+            metric_val=sign * float(opt_result.fun),
+            data_dist=data_dist,
+            hypo_maker=hypo_maker,
+            minimizer_time=minimizer_time,
+            minimizer_metadata=metadata,
+            fit_history=fit_history,
+            counter=counter,
+        )
+        if not metadata["success"]:
+            logging.warning(
+                "Minimizer reported failure: %s", metadata["message"]
+            )
+        return result
+
+    def _fit_gradient(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Pure compiled-path gradient fit (TPU-first)."""
+        kwargs = dict(method_kwargs or {})
+        kwargs.setdefault("method", "l-bfgs-b")
+        kwargs["gradient"] = True
+        return self._fit_scipy(
+            data_dist, hypo_maker, metric, external_priors_penalty,
+            kwargs, local_fit_kwargs,
+        )
+
+    def _fit_iminuit(self, *args, **kwargs):
+        raise NotImplementedError(
+            "iminuit is not available in this environment; use method"
+            " 'scipy' or 'gradient'"
+        )
+
+    def _fit_nlopt(self, *args, **kwargs):
+        raise NotImplementedError(
+            "nlopt is not available in this environment; use method"
+            " 'scipy' or 'gradient'"
+        )
+
+
+class Analysis(BasicAnalysis):
+    """Convenience interface mirroring the reference ``Analysis``."""
+
+    def fit_hypo(
+        self,
+        data_dist,
+        hypo_maker,
+        metric,
+        minimizer_settings=None,
+        hypo_param_selections=None,
+        reset_free=True,
+        **kwargs,
+    ):
+        if hypo_param_selections:
+            hypo_maker.select_params(hypo_param_selections)
+        if reset_free:
+            hypo_maker.reset_free()
+        settings = minimizer_settings or {
+            "method": "scipy",
+            "method_kwargs": {"method": "l-bfgs-b"},
+        }
+        result = self.fit_recursively(
+            data_dist,
+            hypo_maker,
+            metric,
+            None,
+            settings.get("method", "scipy"),
+            settings.get("method_kwargs"),
+            settings.get("local_fit_kwargs"),
+        )
+        return result, None
+
+    def profile(
+        self, data_dist, hypo_maker, param_name, values, metric, **fit_kwargs
+    ):
+        """1-d profile scan: fix `param_name` at each value, fit the rest."""
+        param = hypo_maker.params[param_name]
+        orig_fixed = param.is_fixed
+        results = []
+        for v in values:
+            param.value = v
+            param.is_fixed = True
+            result = self.fit_recursively(
+                data_dist, hypo_maker, metric, None,
+                fit_kwargs.get("method", "scipy"),
+                fit_kwargs.get("method_kwargs"),
+                fit_kwargs.get("local_fit_kwargs"),
+            )
+            results.append(result)
+        param.is_fixed = orig_fixed
+        return results

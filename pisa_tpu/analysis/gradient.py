@@ -1,0 +1,210 @@
+"""
+Compiled multi-pipeline objectives with analytic gradients.
+
+Builds, for a DistributionMaker (or single Pipeline), one jitted function
+
+    rescaled_free_params -> scalar objective (and its gradient)
+
+by composing each pipeline's traced template (see
+:class:`pisa_tpu.core.template.CompiledTemplate`), summing histograms across
+pipelines, applying the metric against the data distribution, and adding
+prior penalties. This replaces the reference's finite-difference minimizer
+steps (~2*N_params template evaluations per gradient) with a single
+forward+backward XLA execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pisa_tpu.core.map import Map, MapSet
+from pisa_tpu.core.pipeline import Pipeline
+from pisa_tpu.core.template import CompiledTemplate
+from pisa_tpu.units import Quantity
+from pisa_tpu.utils import stats
+
+__all__ = ["CompiledDistribution"]
+
+
+class CompiledDistribution:
+    """Jitted summed-template evaluation for a hypo maker.
+
+    Parameters
+    ----------
+    hypo_maker : DistributionMaker or Pipeline
+    """
+
+    def __init__(self, hypo_maker):
+        if isinstance(hypo_maker, Pipeline):
+            pipelines = [hypo_maker]
+            self._params = hypo_maker.params
+        else:
+            pipelines = list(hypo_maker.pipelines)
+            self._params = hypo_maker.params
+        self.hypo_maker = hypo_maker
+
+        free = self._params.free
+        self.free_names = list(free.names)
+        self._free_params = list(free)
+
+        self.templates = []
+        self.index_maps = []
+        for p in pipelines:
+            ct = CompiledTemplate(
+                p, output_binning=p.output_binning, output_key=p.output_key
+            )
+            self.templates.append(ct)
+            self.index_maps.append(
+                np.asarray(
+                    [self.free_names.index(n) for n in ct.free_names],
+                    dtype=np.int32,
+                )
+            )
+        self._sum_jitted = jax.jit(self._build_sum_fn())
+
+    # -- shared building blocks -------------------------------------------------
+    def _build_sum_fn(self):
+        templates = self.templates
+        index_maps = self.index_maps
+
+        def fn(vec):
+            total = None
+            for ct, idx in zip(templates, index_maps):
+                sub = vec[idx] if len(idx) else jnp.zeros((0,), vec.dtype)
+                out = ct._build_fn()(sub)
+                s = None
+                for h in out["hist"].values():
+                    s = h if s is None else s + h
+                total = s if total is None else total + s
+            return total
+
+        return fn
+
+    def current_rescaled_values(self):
+        return np.asarray(
+            [p._rescaled_value for p in self._free_params], dtype=np.float64
+        )
+
+    def set_rescaled_values(self, vec):
+        for p, v in zip(self._free_params, np.asarray(vec)):
+            p._rescaled_value = float(np.clip(v, 0.0, 1.0))
+
+    def sum_hist(self, vec=None):
+        if vec is None:
+            vec = self.current_rescaled_values()
+        return np.asarray(self._sum_jitted(jnp.asarray(vec)))
+
+    def get_outputs(self, vec=None, return_sum=True):
+        """MapSet of the summed template (or list per pipeline)."""
+        if vec is None:
+            vec = self.current_rescaled_values()
+        if return_sum:
+            binning = self.templates[0].output_binning
+            return MapSet(
+                [
+                    Map(
+                        name=self.hypo_maker.label or "total",
+                        hist=self.sum_hist(vec),
+                        binning=binning,
+                    )
+                ],
+                name="total",
+            )
+        return [
+            ct.get_outputs(np.asarray(vec)[idx])
+            for ct, idx in zip(self.templates, self.index_maps)
+        ]
+
+    # -- objective ---------------------------------------------------------------
+    def build_objective(self, data_dist, metric, priors=True, data_variance=None):
+        """(value_fn, value_and_grad_fn) over the rescaled vector, summing all
+        pipelines' maps into one template compared against `data_dist`
+        (a MapSet whose maps are summed, a Map, or an array).
+
+        Sign convention: always minimized (llh-family negated), matching the
+        reference's ``_minimizer_callable`` (``analysis.py:2493``)."""
+        maximize = stats.is_metric_to_maximize(metric)
+        metric_fn = getattr(stats, metric)
+
+        if isinstance(data_dist, MapSet):
+            data = None
+            var = None
+            for m in data_dist:
+                data = m.hist.ravel() if data is None else data + m.hist.ravel()
+                if m.variance is not None:
+                    v = m.variance.ravel()
+                    var = v if var is None else var + v
+            data = jnp.asarray(data)
+            data_var = jnp.asarray(var) if var is not None else None
+        elif isinstance(data_dist, Map):
+            data = jnp.asarray(data_dist.hist.ravel())
+            data_var = (
+                jnp.asarray(data_dist.variance.ravel())
+                if data_dist.variance is not None
+                else None
+            )
+        else:
+            data = jnp.asarray(np.asarray(data_dist).ravel())
+            data_var = None
+        if data_variance is not None:
+            data_var = jnp.asarray(np.asarray(data_variance).ravel())
+
+        sum_fn = self._build_sum_fn()
+        free_params = self._free_params
+
+        uses_variance = metric in (
+            "mod_chi2",
+            "correct_chi2",
+            "mcllh_mean",
+            "mcllh_eff",
+            "barlow_llh",
+            "conv_llh",
+            "signed_sqrt_mod_chi2",
+        )
+
+        def objective(vec):
+            exp = sum_fn(vec)
+            if uses_variance:
+                v = data_var if data_var is not None else jnp.zeros_like(exp)
+                vals = metric_fn(data, exp, v)
+            else:
+                vals = metric_fn(data, exp)
+            total = jnp.sum(vals)
+
+            if priors:
+                # recompute magnitudes for the prior penalties
+                penalty = 0.0
+                for i, p in enumerate(free_params):
+                    if p.prior is None:
+                        continue
+                    lo = p.range[0].m_as(p.units)
+                    hi = p.range[1].m_as(p.units)
+                    if p.scales_as_log:
+                        mag = (
+                            jnp.exp(
+                                vec[i]
+                                * (
+                                    jnp.log(np.abs(hi))
+                                    - jnp.log(np.abs(lo))
+                                )
+                            )
+                            * lo
+                        )
+                    else:
+                        mag = lo + (hi - lo) * vec[i]
+                    if p.prior.units is not None:
+                        x = Quantity(mag, p.units).m_as(p.prior.units)
+                    else:
+                        x = mag
+                    llh = jnp.squeeze(p.prior.llh_jax(x))
+                    penalty = penalty + llh * (1.0 if maximize else -2.0)
+                total = total + penalty
+
+            return -total if maximize else total
+
+        value_fn = jax.jit(objective)
+        vg_fn = jax.jit(jax.value_and_grad(objective))
+        return value_fn, vg_fn

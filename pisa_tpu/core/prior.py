@@ -96,7 +96,8 @@ class Prior:
         if isinstance(x, Quantity):
             if self.units is not None:
                 return np.asarray(x.m_as(self.units), dtype=float)
-            return np.asarray(x.m_as("dimensionless"), dtype=float)
+            # unitless prior (e.g. uniform): use the bare magnitude
+            return np.asarray(x.magnitude, dtype=float)
         return np.asarray(x, dtype=float)
 
     def llh(self, x):

@@ -1,0 +1,262 @@
+"""
+Compiled template evaluation: one jitted, differentiable function for an
+entire pipeline.
+
+This is the central TPU-first redesign (SURVEY §7.1): instead of the
+reference's per-stage compute/apply with param-hash caches, the whole stage
+chain is traced once into a pure XLA program
+
+    rescaled_free_params (vector in [0,1]^n) -> {category: flat binned hist}
+
+making a minimizer iteration a single device execution, and enabling
+``jax.grad`` of any metric w.r.t. the physics parameters — replacing the
+reference's finite-difference gradients (~2*N templates per step,
+``analysis.py:1561``).
+
+Mechanics: free params' magnitudes are injected into the shared Param
+objects as JAX tracers (wrapped in unit-tagged Quantities so stage code is
+unchanged); stage compute caches are bypassed; container states are
+snapshotted and restored around tracing so the eager path stays usable.
+
+Params whose effects run through host-side precomputation (Earth-layer
+geometry from Ye fractions, file paths, RNG seeds) cannot be traced; stages
+declare them via ``host_param_names`` and they must be fixed when compiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pisa_tpu.core.map import Map, MapSet
+from pisa_tpu.units import Quantity
+from pisa_tpu.utils.log import logging
+
+__all__ = ["CompiledTemplate"]
+
+# params that steer host-side precomputation and hence cannot be traced
+HOST_PARAM_NAMES = {
+    "earth_model",
+    "detector_depth",
+    "prop_height",
+    "YeI",
+    "YeO",
+    "YeM",
+    "density_scale",
+    "core_density_scale",
+    "innermantle_density_scale",
+    "middlemantle_density_scale",
+    "n_events",
+    "seed",
+    "random",
+}
+
+
+class CompiledTemplate:
+    """Jitted ``rescaled free params -> histograms`` for a Pipeline.
+
+    Parameters
+    ----------
+    pipeline : Pipeline
+    output_binning : MultiDimBinning
+    output_key : str or (key, error_key)
+
+    Notes
+    -----
+    The returned callable evaluates in the *rescaled* [0,1] parameter space
+    used by minimizers (cf. reference ``param.py:358``); conversion to
+    physical magnitudes happens inside the traced function so gradients flow.
+    """
+
+    def __init__(self, pipeline, output_binning, output_key):
+        self.pipeline = pipeline
+        self.output_binning = output_binning
+        if isinstance(output_key, (tuple, list)):
+            self.output_key, self.error_key = output_key[0], output_key[1]
+        else:
+            self.output_key, self.error_key = output_key, None
+
+        free = pipeline.params.free
+        for p in free:
+            if p.name in HOST_PARAM_NAMES:
+                raise ValueError(
+                    f"Free param {p.name!r} steers host-side precomputation"
+                    " and cannot be part of a compiled template; fix it or"
+                    " use the eager path"
+                )
+        self.free_names = list(free.names)
+        self._free_params = list(free)
+        # static rescaling data per free param
+        self._rescale = []
+        for p in free:
+            lo = p.range[0].m_as(p.units)
+            hi = p.range[1].m_as(p.units)
+            self._rescale.append((float(lo), float(hi), bool(p.scales_as_log)))
+        self.names = list(pipeline.data.names) if pipeline.data.names else None
+
+        self._jitted = jax.jit(self._build_fn())
+        self._grad_cache = {}
+
+    # -- trace construction ----------------------------------------------------
+    def _magnitudes_from_rescaled(self, vec):
+        mags = []
+        for i, (lo, hi, log_scale) in enumerate(self._rescale):
+            v = vec[i]
+            if log_scale:
+                s_lo, s_hi = (lo, hi) if lo > 0 else (-lo, -hi)
+                mag = jnp.exp(
+                    v * (jnp.log(np.abs(s_hi)) - jnp.log(np.abs(s_lo)))
+                ) * lo
+            else:
+                mag = lo + (hi - lo) * v
+            mags.append(mag)
+        return mags
+
+    def _snapshot(self):
+        state = []
+        for c in self.pipeline.data.containers:
+            state.append(
+                (
+                    c,
+                    {k: dict(v) for k, v in c._data.items()},
+                    {k: dict(v) for k, v in c.validity.items()},
+                    c.representation,
+                )
+            )
+        return state
+
+    @staticmethod
+    def _restore(state):
+        for c, data, validity, rep in state:
+            c._data = data
+            c.validity = validity
+            c.representation = rep
+
+    def _build_fn(self):
+        pipeline = self.pipeline
+
+        def fn(vec):
+            mags = self._magnitudes_from_rescaled(vec)
+            snapshot = self._snapshot()
+            saved_values = [p._value for p in self._free_params]
+            for stage in pipeline.stages:
+                stage._trace_mode = True
+            try:
+                for p, mag in zip(self._free_params, mags):
+                    p._value = Quantity(mag, p.units)
+                for stage in pipeline.stages:
+                    stage.run()
+                pipeline.data.representation = self.output_binning
+                hists = {}
+                errs = {}
+                for c in pipeline.data.containers:
+                    hists[c.name] = jnp.asarray(c[self.output_key]).ravel()
+                    if self.error_key is not None:
+                        errs[c.name] = jnp.asarray(c[self.error_key]).ravel()
+                out = {"hist": hists}
+                if self.error_key is not None:
+                    out["error"] = errs
+                return out
+            finally:
+                for p, v in zip(self._free_params, saved_values):
+                    p._value = v
+                for stage in pipeline.stages:
+                    stage._trace_mode = False
+                self._restore(snapshot)
+
+        return fn
+
+    # -- evaluation -------------------------------------------------------------
+    def __call__(self, rescaled_vector):
+        """Raw evaluation: dict with 'hist' (and 'error') name->flat array."""
+        return self._jitted(jnp.asarray(rescaled_vector))
+
+    def current_rescaled_values(self):
+        return np.asarray(
+            [p._rescaled_value for p in self._free_params], dtype=np.float64
+        )
+
+    def get_outputs(self, rescaled_vector=None) -> MapSet:
+        """Host-side MapSet (mirrors Pipeline.get_outputs)."""
+        if rescaled_vector is None:
+            rescaled_vector = self.current_rescaled_values()
+        out = self(rescaled_vector)
+        maps = []
+        for name, flat in out["hist"].items():
+            err = (
+                np.asarray(out["error"][name]) if "error" in out else None
+            )
+            maps.append(
+                Map(
+                    name=name,
+                    hist=np.asarray(flat),
+                    binning=self.output_binning,
+                    error_hist=err,
+                )
+            )
+        return MapSet(maps, name=self.pipeline.name)
+
+    # -- objectives ---------------------------------------------------------------
+    def build_objective(self, data_dist, metric, priors=True, sum_maps=False):
+        """Return jitted (value, grad) functions of the rescaled vector for
+        fitting `data_dist` (MapSet or dict name->array) under `metric`.
+
+        The objective follows the reference's minimizer convention
+        (``analysis.py:2493``): metric total over maps plus prior penalties,
+        sign-flipped for llh-family metrics so it is always *minimized*.
+        """
+        from pisa_tpu.utils import stats
+
+        maximize = stats.is_metric_to_maximize(metric)
+        metric_fn = getattr(stats, metric)
+
+        if isinstance(data_dist, MapSet):
+            data = {
+                m.name: jnp.asarray(m.hist.ravel()) for m in data_dist
+            }
+        elif isinstance(data_dist, Map):
+            data = {data_dist.name: jnp.asarray(data_dist.hist.ravel())}
+        else:
+            data = {k: jnp.asarray(v).ravel() for k, v in data_dist.items()}
+
+        prior_list = []
+        if priors:
+            for p in self._free_params:
+                if p.prior is not None:
+                    prior_list.append((p.prior, p.units))
+
+        rescale = self._rescale
+        base_fn = self._build_fn()
+
+        def objective(vec):
+            out = base_fn(vec)
+            hists = out["hist"]
+            if sum_maps:
+                total_exp = sum(hists.values())
+                total_dat = sum(data.values())
+                total = jnp.sum(metric_fn(total_dat, total_exp))
+            else:
+                total = 0.0
+                for name, d in data.items():
+                    total = total + jnp.sum(metric_fn(d, hists[name]))
+            # prior penalties, in the same metric family (llh or chi2 = -2llh)
+            penalty = 0.0
+            mags = self._magnitudes_from_rescaled(vec)
+            for p, mag in zip(self._free_params, mags):
+                if priors and p.prior is not None:
+                    if p.prior.units is not None:
+                        x = Quantity(mag, p.units).m_as(p.prior.units)
+                    else:
+                        x = mag
+                    llh = p.prior.llh_jax(x)
+                    penalty = penalty + jnp.squeeze(llh) * (
+                        1.0 if maximize else -2.0
+                    )
+            total = total + penalty
+            return -total if maximize else total
+
+        value_and_grad = jax.jit(jax.value_and_grad(objective))
+        value_only = jax.jit(objective)
+        return value_only, value_and_grad

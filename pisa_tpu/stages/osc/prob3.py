@@ -36,7 +36,7 @@ from pisa_tpu.ops.osc.nonstandard import (
     TOMOGRAPHY_ERROR_MSG,
     VacuumLikeNSIParams,
 )
-from pisa_tpu.ops.osc.pmns import OscParams
+from pisa_tpu.ops.osc.pmns import OscParams, dm_matrix, pmns_matrix, pmns_matrix_reparam
 from pisa_tpu.utils.log import logging
 
 __all__ = ["prob3", "init_test", "LRI_TYPES", "NSI_TYPES", "TOMOGRAPHY_TYPES"]
@@ -259,13 +259,14 @@ class prob3(Stage):  # noqa: N801
                     f"{angle.name} is dimensionless; give rad or deg"
                 )
 
-        op = self.osc_params
-        op.theta12 = self.params.theta12.m_as("rad")
-        op.theta13 = self.params.theta13.m_as("rad")
-        op.theta23 = self.params.theta23.m_as("rad")
-        op.dm21 = self.params.deltam21.m_as("eV**2")
-        op.dm31 = self.params.deltam31.m_as("eV**2")
-        op.deltacp = self.params.deltacp.m_as("rad")
+        # trace-safe mixing-matrix construction (params may be JAX tracers
+        # when the pipeline is compiled into a template function)
+        theta12 = self.params.theta12.m_as("rad")
+        theta13 = self.params.theta13.m_as("rad")
+        theta23 = self.params.theta23.m_as("rad")
+        dm21 = self.params.deltam21.m_as("eV**2")
+        dm31 = self.params.deltam31.m_as("eV**2")
+        deltacp = self.params.deltacp.m_as("rad")
 
         if self.nsi_type == "vacuum-like":
             n = self.nsi_params
@@ -353,18 +354,21 @@ class prob3(Stage):  # noqa: N801
         elif self.lri_type == "mutau-symmetry":
             lri_pot = self.lri_params.potential_matrix_mutau
 
-        if self.reparam_mix_matrix:
-            mix = self.osc_params.mix_matrix_reparam_complex
-        else:
-            mix = self.osc_params.mix_matrix_complex
-        dm = self.osc_params.dm_matrix
+        pmns_fn = (
+            pmns_matrix_reparam if self.reparam_mix_matrix else pmns_matrix
+        )
+        mix = pmns_fn(
+            jnp.sin(theta12), jnp.sin(theta13), jnp.sin(theta23), deltacp
+        )
+        dm = dm_matrix(dm21, dm31)
 
+        ctype = np.complex128 if FTYPE == np.float64 else np.complex64
         for container in self.data:
             probs = osc_probs_layers(
-                np.asarray(dm, dtype=FTYPE),
-                C.of(mix.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
-                C.of(mat_pot.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
-                C.of(mat_decay.astype(np.complex128 if FTYPE == np.float64 else np.complex64)),
+                dm,
+                mix,
+                C.of(mat_pot.astype(ctype)),
+                C.of(mat_decay.astype(ctype)),
                 np.asarray(lri_pot, dtype=FTYPE),
                 int(container["nubar"]),
                 jnp.asarray(container["true_energy"], dtype=FTYPE),
