@@ -3,23 +3,30 @@ Three-flavor matter-oscillation propagation, TPU-native.
 
 Rebuild of the reference prob3 kernels
 (``pisa/stages/osc/prob3numba/numba_osc_kernels.py:122,349,535,606,688,835``;
-originally after Wendell's Prob3++ / Barger et al.) as pure JAX functions:
+originally after Wendell's Prob3++ / Barger et al.) as pure JAX functions.
 
-- the per-event/per-layer numba loops become ``vmap`` over points and a
-  fixed-shape ``lax.scan`` chain-product over zero-padded layer slots
-  (distance 0 -> identity), replacing the reference's data-dependent layer
-  cache (``numba_osc_kernels.py:224-271``);
-- all complex 3x3 algebra runs on split (re, im) real arrays
-  (:mod:`pisa_tpu.ops.cplx`) because the TPU backend supports no complex
-  dtypes; XLA fuses the split arithmetic on the VPU;
-- the analytic characteristic-polynomial eigenvalues (``get_dms``) with
-  vacuum-matched ordering are vectorized branch-free;
-- the neutrino-decay path needs eigenvalues of a *non-Hermitian* complex 3x3;
-  there is no TPU eig, so we solve the cubic in closed form (Cardano) — the
-  Barger amplitude is symmetric under eigenvalue permutation, so ordering
-  differences are harmless;
-- everything is differentiable w.r.t. (dm, mix, mat_pot, mat_decay, lri_pot),
-  enabling analytic gradients of templates w.r.t. oscillation params.
+TPU-first design decisions:
+
+- **Structure-of-arrays layout**: a batched 3x3 complex matrix is a python
+  3x3 nest of :class:`C` split-complex (re, im) pairs whose entries are
+  (N,)-vectors over the grid/event points. The batch axis is the trailing
+  (lane) axis of every primitive op, so the VPU runs at full width; the
+  naive (N, 3, 3) layout pads the 3-wide trailing dims to 128 lanes and
+  wastes ~40x of the machine. The 3x3 algebra is unrolled in python (static)
+  and fuses into a handful of wide elementwise kernels.
+- split (re, im) real arithmetic throughout: the TPU backend supports no
+  complex dtypes.
+- the per-event/per-layer numba loops become a statically-unrolled product
+  over zero-padded layer slots (distance 0 -> identity), replacing the
+  reference's data-dependent layer cache (``numba_osc_kernels.py:224-271``).
+- analytic characteristic-polynomial eigenvalues (``get_dms``) with
+  vacuum-matched ordering, scale-normalized (the raw coefficients underflow
+  fp32 at TeV energies; the reference escapes via numba's float64 promotion
+  of math.* calls); Cardano closed form for the non-Hermitian decay case
+  (no TPU eig; the Barger amplitude is permutation-symmetric so eigenvalue
+  order is irrelevant).
+- differentiable w.r.t. (dm, mix, mat_pot, mat_decay, lri_pot) for analytic
+  template gradients.
 
 Physical conventions (reference Appendix B):
 - nubar = +1 nu / -1 nubar; flavors 0=e, 1=mu, 2=tau
@@ -55,88 +62,147 @@ __all__ = [
 TWO_SQRT2_GF = 1.52588e-4  # 2*sqrt(2)*G_F in (eV^2 cm^3)/(mole GeV)
 HBAR_C_FACTOR = 2.534  # (1/2)/(hbar c) in GeV/(eV^2 km)
 
+# ---------------------------------------------------------------------------
+# SoA 3x3 matrix helpers: a "Mat" is [[C, C, C], [C, C, C], [C, C, C]] whose
+# entries are scalars or (N,) arrays. All loops are static python unrolls.
+# ---------------------------------------------------------------------------
 
-def get_H_vac(mix_nubar, dm_vac) -> C:
+
+def mat_of(x) -> list:
+    """Mat from a (3,3) complex/real array or C with (3,3[,N]) parts."""
+    if isinstance(x, list):
+        return x
+    c = C.of(x)
+    return [[C(c.re[i, j], c.im[i, j]) for j in range(3)] for i in range(3)]
+
+
+def mat_to_C(m) -> C:
+    """Stack a Mat back into a C with array shape (3, 3, ...)."""
+    re = jnp.stack([jnp.stack([m[i][j].re for j in range(3)]) for i in range(3)])
+    im = jnp.stack([jnp.stack([m[i][j].im for j in range(3)]) for i in range(3)])
+    return C(re, im)
+
+
+def mat_to_numpy(m) -> np.ndarray:
+    return to_numpy(mat_to_C(m))
+
+
+def mat_mul(a, b) -> list:
+    """Matrix product of two Mats (entries broadcast elementwise)."""
+    return [
+        [
+            a[i][0] * b[0][j] + a[i][1] * b[1][j] + a[i][2] * b[2][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+
+def mat_conj_T(a) -> list:
+    return [[a[j][i].conj() for j in range(3)] for i in range(3)]
+
+
+def mat_map(a, fn) -> list:
+    return [[fn(a[i][j]) for j in range(3)] for i in range(3)]
+
+
+def mat_add(a, b) -> list:
+    return [[a[i][j] + b[i][j] for j in range(3)] for i in range(3)]
+
+
+def _czero_like(x):
+    return C(jnp.zeros_like(x), jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Hamiltonians
+# ---------------------------------------------------------------------------
+def get_H_vac(mix_nubar, dm_vac):
     """Vacuum Hamiltonian in the flavor basis, without the 1/2E factor:
-    U diag(0, dm21, dm31) U^dagger (cf. ``numba_osc_kernels.py:535``)."""
-    u = C.of(mix_nubar)
+    U diag(0, dm21, dm31) U^dagger (cf. ``numba_osc_kernels.py:535``).
+    Accepts/returns Mat (or array-likes for API compat)."""
+    u = mat_of(mix_nubar)
     dm_vac = jnp.asarray(dm_vac)
-    d = jnp.stack(
-        [jnp.zeros_like(dm_vac[1, 0]), dm_vac[1, 0], dm_vac[2, 0]]
-    )
-    ud = C(u.re * d[None, :], u.im * d[None, :])  # U @ diag(d)
-    return ud @ u.conj_T()
+    d = [jnp.zeros_like(dm_vac[1, 0]), dm_vac[1, 0], dm_vac[2, 0]]
+    ud = [[u[i][j] * d[j] for j in range(3)] for i in range(3)]
+    return mat_mul(ud, mat_conj_T(u))
 
 
-def get_H_decay(mix_nubar, mat_decay) -> C:
+def get_H_decay(mix_nubar, mat_decay):
     """Decay Hamiltonian in the flavor basis, without the 1/2E factor
     (cf. ``numba_osc_kernels.py:572``)."""
-    u = C.of(mix_nubar)
-    return u @ C.of(mat_decay) @ u.conj_T()
+    u = mat_of(mix_nubar)
+    return mat_mul(mat_mul(u, mat_of(mat_decay)), mat_conj_T(u))
 
 
-def get_H_mat(rho, mat_pot, nubar) -> C:
+def get_H_mat(rho, mat_pot, nubar):
     """Matter Hamiltonian in the flavor basis: a*mat_pot (nu) or
     -a*conj(mat_pot) (nubar), a = 0.5*rho*2sqrt2*G_F
-    (cf. ``numba_osc_kernels.py:606``). `nubar` must be a static +-1."""
-    mp = C.of(mat_pot)
-    a = 0.5 * rho * TWO_SQRT2_GF
+    (cf. ``numba_osc_kernels.py:606``). `nubar` must be a static +-1;
+    `rho` may be an (N,) array."""
+    mp = mat_of(mat_pot)
+    a = 0.5 * jnp.asarray(rho) * TWO_SQRT2_GF
     if nubar > 0:
-        return mp * a
-    return mp.conj() * (-a)
+        return mat_map(mp, lambda e: e * a)
+    return mat_map(mp, lambda e: e.conj() * (-a))
 
 
-def get_dms(energy, H_full, dm_vac):
+# ---------------------------------------------------------------------------
+# Eigenvalues
+# ---------------------------------------------------------------------------
+def _dms_soa(energy, H, dm_vac):
     """Matter mass-squared eigenvalues (2E*lambda) by the analytic trig
-    solution of the characteristic cubic, ordered to match the corresponding
-    vacuum eigenvalues (cf. ``numba_osc_kernels.py:688``). Returns real (3,)."""
-    H = C.of(H_full)
+    solution, vacuum-match ordered (cf. ``numba_osc_kernels.py:688``).
+
+    energy : scalar or (N,); H : Mat with (N,) entries; dm_vac : (3,3).
+    Returns [m0, m1, m2] real arrays.
+    """
     dm_vac = jnp.asarray(dm_vac)
+    dtype = H[0][0].re.dtype
 
-    # scale-normalize: the characteristic-poly coefficients of the raw H
-    # (entries ~1e-6 eV^2/GeV at TeV energies) produce intermediates like
-    # c1^2*(p-c1) ~ 1e-38 that underflow fp32 (the reference escapes this via
-    # numba's float64 promotion of math.* calls). Eigenvalues are degree-1
-    # homogeneous: eig(H) = s * eig(H/s), so solve on H/s with s = max|H_ij|.
-    scale = jnp.maximum(
-        jnp.max(jnp.sqrt(H.re**2 + H.im**2)),
-        jnp.asarray(1e-30, dtype=H.re.dtype),
-    )
-    H = C(H.re / scale, H.im / scale)
+    # scale-normalize: raw char-poly intermediates underflow fp32 at TeV
+    # energies; eigenvalues are degree-1 homogeneous in H
+    mags = [H[i][j].abs2() for i in range(3) for j in range(3)]
+    scale2 = mags[0]
+    for m_ in mags[1:]:
+        scale2 = jnp.maximum(scale2, m_)
+    scale = jnp.maximum(jnp.sqrt(scale2), jnp.asarray(1e-30, dtype=dtype))
+    inv_s = 1.0 / scale
+    Hs = mat_map(H, lambda e: e * inv_s)
 
-    def elem(i, j):
-        return C(H.re[i, j], H.im[i, j])
+    def el(i, j):
+        return Hs[i][j]
 
-    real_product_a = (elem(0, 1) * elem(1, 2) * elem(2, 0)).re
-    real_product_b = (elem(0, 0) * elem(1, 1) * elem(2, 2)).re
-    norm_emu = elem(0, 1).abs2()
-    norm_etau = elem(0, 2).abs2()
-    norm_mutau = elem(1, 2).abs2()
+    real_product_a = (el(0, 1) * el(1, 2) * el(2, 0)).re
+    real_product_b = (el(0, 0) * el(1, 1) * el(2, 2)).re
+    norm_emu = el(0, 1).abs2()
+    norm_etau = el(0, 2).abs2()
+    norm_mutau = el(1, 2).abs2()
 
     c1 = (
-        H.re[0, 0] * (H.re[1, 1] + H.re[2, 2])
-        - H.im[0, 0] * (H.im[1, 1] + H.im[2, 2])
-        + H.re[1, 1] * H.re[2, 2]
-        - H.im[1, 1] * H.im[2, 2]
+        el(0, 0).re * (el(1, 1).re + el(2, 2).re)
+        - el(0, 0).im * (el(1, 1).im + el(2, 2).im)
+        + el(1, 1).re * el(2, 2).re
+        - el(1, 1).im * el(2, 2).im
         - norm_emu
         - norm_mutau
         - norm_etau
     )
     c0 = (
-        H.re[0, 0] * norm_mutau
-        + H.re[1, 1] * norm_etau
-        + H.re[2, 2] * norm_emu
+        el(0, 0).re * norm_mutau
+        + el(1, 1).re * norm_etau
+        + el(2, 2).re * norm_emu
         - 2.0 * real_product_a
         - real_product_b
     )
-    c2 = -H.re[0, 0] - H.re[1, 1] - H.re[2, 2]
+    c2 = -el(0, 0).re - el(1, 1).re - el(2, 2).re
 
     one_over_two_e = 0.5 / energy
-    # vacuum analog, scale-normalized the same way (dimensionless x, y)
+    # vacuum analog, scale-normalized the same way
     scale_v = jnp.maximum(
         jnp.maximum(jnp.abs(dm_vac[1, 0]), jnp.abs(dm_vac[2, 0]))
         * one_over_two_e,
-        jnp.asarray(1e-30, dtype=H.re.dtype),
+        jnp.asarray(1e-30, dtype=dtype),
     )
     x = dm_vac[1, 0] * one_over_two_e / scale_v
     y = dm_vac[2, 0] * one_over_two_e / scale_v
@@ -158,56 +224,69 @@ def get_dms(energy, H_full, dm_vac):
     res = jnp.arctan2(jnp.sqrt(tmp), q) / 3.0
     res_v = jnp.arctan2(jnp.sqrt(tmp_v), q_v) / 3.0
     a = 2.0 / 3.0 * jnp.pi
-    thetas = jnp.stack([res + a, res - a, res])
-    thetas_v = jnp.stack([res_v + a, res_v - a, res_v])
-
     b = 2.0 / 3.0 * jnp.sqrt(p)
     b_v = 2.0 / 3.0 * jnp.sqrt(p_v)
 
     two_e = 2.0 * energy
-    m_u = two_e * (
-        scale * (b * jnp.cos(thetas) - c2 / 3.0) + dm_vac[0, 0]
-    )
-    m_v = two_e * (
-        scale_v * (b_v * jnp.cos(thetas_v) - c2_v / 3.0) + dm_vac[0, 0]
-    )
+    m_u = [
+        two_e * (scale * (b * jnp.cos(res + a) - c2 / 3.0) + dm_vac[0, 0]),
+        two_e * (scale * (b * jnp.cos(res - a) - c2 / 3.0) + dm_vac[0, 0]),
+        two_e * (scale * (b * jnp.cos(res) - c2 / 3.0) + dm_vac[0, 0]),
+    ]
+    m_v = [
+        two_e * (scale_v * (b_v * jnp.cos(res_v + a) - c2_v / 3.0) + dm_vac[0, 0]),
+        two_e * (scale_v * (b_v * jnp.cos(res_v - a) - c2_v / 3.0) + dm_vac[0, 0]),
+        two_e * (scale_v * (b_v * jnp.cos(res_v) - c2_v / 3.0) + dm_vac[0, 0]),
+    ]
 
-    # vacuum-matched ordering: m[i] = m_u[argmin_j |dm_vac[i,0] - m_v[j]|]
-    targets = jnp.stack([dm_vac[0, 0], dm_vac[1, 0], dm_vac[2, 0]])
-    k = jnp.argmin(jnp.abs(targets[:, None] - m_v[None, :]), axis=1)
-    return m_u[k]
+    # vacuum-matched ordering: m[i] = m_u[argmin_j |dm_vac[i,0] - m_v[j]|],
+    # unrolled branch-free over the 3x3 candidate pairs
+    targets = [dm_vac[0, 0], dm_vac[1, 0], dm_vac[2, 0]]
+    out = []
+    for i in range(3):
+        d0 = jnp.abs(targets[i] - m_v[0])
+        d1 = jnp.abs(targets[i] - m_v[1])
+        d2 = jnp.abs(targets[i] - m_v[2])
+        pick1 = d1 < d0
+        best01 = jnp.where(pick1, m_u[1], m_u[0])
+        bestd01 = jnp.minimum(d0, d1)
+        out.append(jnp.where(d2 < bestd01, m_u[2], best01))
+    return out
 
 
-def eigvals3x3(H) -> C:
-    """Eigenvalues of a general complex 3x3 matrix via Cardano's closed form
-    on split re/im arithmetic (no TPU LAPACK; ordering arbitrary — the Barger
-    amplitude is permutation-symmetric)."""
-    H = C.of(H)
-    # scale-normalize (fp32 underflow; eigenvalues are degree-1 homogeneous)
-    scale = jnp.maximum(
-        jnp.max(jnp.sqrt(H.re**2 + H.im**2)),
-        jnp.asarray(1e-30, dtype=H.re.dtype),
-    )
-    H = C(H.re / scale, H.im / scale)
+def get_dms(energy, H_full, dm_vac):
+    """API-compatible wrapper over the SoA implementation; H_full may be a
+    (3,3) complex array / C / Mat. Returns real (3,) (or (3, N))."""
+    m = _dms_soa(jnp.asarray(energy), mat_of(H_full), dm_vac)
+    return jnp.stack(m)
 
-    def e(i, j):
-        return C(H.re[i, j], H.im[i, j])
 
-    c2 = -(e(0, 0) + e(1, 1) + e(2, 2))
+def _eigvals_soa(H):
+    """Cardano closed-form eigenvalues of a general complex 3x3 Mat
+    (scale-normalized; arbitrary order). Returns [C, C, C]."""
+    dtype = H[0][0].re.dtype
+    mags = [H[i][j].abs2() for i in range(3) for j in range(3)]
+    scale2 = mags[0]
+    for m_ in mags[1:]:
+        scale2 = jnp.maximum(scale2, m_)
+    scale = jnp.maximum(jnp.sqrt(scale2), jnp.asarray(1e-30, dtype=dtype))
+    inv_s = 1.0 / scale
+    e = mat_map(H, lambda x: x * inv_s)
+
+    c2 = -(e[0][0] + e[1][1] + e[2][2])
     c1 = (
-        e(0, 0) * e(1, 1)
-        + e(0, 0) * e(2, 2)
-        + e(1, 1) * e(2, 2)
-        - e(0, 1) * e(1, 0)
-        - e(0, 2) * e(2, 0)
-        - e(1, 2) * e(2, 1)
+        e[0][0] * e[1][1]
+        + e[0][0] * e[2][2]
+        + e[1][1] * e[2][2]
+        - e[0][1] * e[1][0]
+        - e[0][2] * e[2][0]
+        - e[1][2] * e[2][1]
     )
     c0 = -(
-        e(0, 0) * (e(1, 1) * e(2, 2) - e(1, 2) * e(2, 1))
-        - e(0, 1) * (e(1, 0) * e(2, 2) - e(1, 2) * e(2, 0))
-        + e(0, 2) * (e(1, 0) * e(2, 1) - e(1, 1) * e(2, 0))
+        e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+        - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+        + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
     )
-    # depressed cubic t^3 + p t + q, x = t - c2/3
     third = 1.0 / 3.0
     p = c1 - c2 * c2 * third
     q = c2 * c2 * c2 * (2.0 / 27.0) - c2 * c1 * third + c0
@@ -226,15 +305,22 @@ def eigvals3x3(H) -> C:
     v = (p / 3.0) / u_safe
     v = C(jnp.where(u_zero, 0.0, v.re), jnp.where(u_zero, 0.0, v.im))
     ang = 2.0 * jnp.pi / 3.0
-    w = C(jnp.cos(ang), jnp.sin(ang))  # primitive cube root of unity
+    w = C(jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang)))
     w2 = w * w
     shift = c2 * third
-    r0 = u - v - shift
-    r1 = u * w - v / w - shift
-    r2 = u * w2 - v / w2 - shift
+    roots = [
+        u - v - shift,
+        u * w - v / w - shift,
+        u * w2 - v / w2 - shift,
+    ]
+    return [r * scale for r in roots]
+
+
+def eigvals3x3(H) -> C:
+    """API-compatible wrapper: eigenvalues of a (3,3) complex matrix as C(3,)."""
+    roots = _eigvals_soa(mat_of(H))
     return C(
-        jnp.stack([r0.re, r1.re, r2.re]) * scale,
-        jnp.stack([r0.im, r1.im, r2.im]) * scale,
+        jnp.stack([r.re for r in roots]), jnp.stack([r.im for r in roots])
     )
 
 
@@ -245,41 +331,53 @@ def get_dms_numerical(energy, H_full) -> C:
     return lam * (2.0 * energy)
 
 
-def _transition_amplitude_massbasis(baseline, energy, m: C, H_mass_2e: C) -> C:
-    """Barger et al. eq. 10: transition amplitude in the mass basis from the
-    (2E-scaled) mass-basis Hamiltonian and the three matter mass-squareds
+# ---------------------------------------------------------------------------
+# Barger transition amplitude
+# ---------------------------------------------------------------------------
+def _transition_soa(baseline, energy, m, H_mass_2e):
+    """Barger et al. eq. 10 on SoA blocks: transition amplitude (mass basis)
+    from the 2E-scaled mass-basis Hamiltonian Mat and eigenvalue triple `m`
+    (list of 3 C; real eigenvalues passed with zero imag)
     (cf. ``numba_osc_kernels.py:482,835``)."""
-    eye = jnp.eye(3, dtype=H_mass_2e.re.dtype)
-
-    def m_k(k):
-        return C(m.re[k], m.im[k])
 
     def HmM(k):
-        mk = m_k(k)
-        return C(H_mass_2e.re - mk.re * eye, H_mass_2e.im - mk.im * eye)
+        return [
+            [
+                H_mass_2e[i][j] - m[k] if i == j else H_mass_2e[i][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
 
     h0, h1, h2 = HmM(0), HmM(1), HmM(2)
-    d01 = m_k(0) - m_k(1)
-    d02 = m_k(0) - m_k(2)
-    d12 = m_k(1) - m_k(2)
-    # denominators: prod_k over j != k of (m_k - m_j)
-    prod0 = (h1 @ h2) / (d01 * d02)  # (m0-m1)(m0-m2)
-    prod1 = (h2 @ h0) / (d12 * (-d01))  # (m1-m2)(m1-m0)
-    prod2 = (h0 @ h1) / ((-d02) * (-d12))  # (m2-m0)(m2-m1)
+    d01 = m[0] - m[1]
+    d02 = m[0] - m[2]
+    d12 = m[1] - m[2]
+    inv0 = 1.0 / (d01 * d02)  # (m0-m1)(m0-m2)
+    inv1 = 1.0 / (d12 * (-d01))  # (m1-m2)(m1-m0)
+    inv2 = 1.0 / ((-d02) * (-d12))  # (m2-m0)(m2-m1)
+    prod0 = mat_map(mat_mul(h1, h2), lambda e: e * inv0)
+    prod1 = mat_map(mat_mul(h2, h0), lambda e: e * inv1)
+    prod2 = mat_map(mat_mul(h0, h1), lambda e: e * inv2)
 
-    # phase c_k = exp(i * arg_k), arg_k = -m_k * (L/E) * hbar_c (complex for
-    # decay): i*(ar + i ai) = -ai + i ar  ->  e^{-ai} (cos ar + i sin ar)
-    scale = -(baseline / energy) * HBAR_C_FACTOR
+    # phase c_k = exp(i*arg), arg = -m_k*(L/E)*hbar_c (complex for decay):
+    # i*(ar + i ai) = -ai + i ar -> e^{-ai} (cos ar + i sin ar)
+    s = -(baseline / energy) * HBAR_C_FACTOR
 
     def phase(k):
-        mk = m_k(k)
-        ar = mk.re * scale
-        ai = mk.im * scale
+        ar = m[k].re * s
+        ai = m[k].im * s
         ex = jnp.exp(-ai)
         return C(ex * jnp.cos(ar), ex * jnp.sin(ar))
 
-    out = phase(0) * prod0 + phase(1) * prod1 + phase(2) * prod2
-    return out
+    p0, p1, p2 = phase(0), phase(1), phase(2)
+    return [
+        [
+            p0 * prod0[i][j] + p1 * prod1[i][j] + p2 * prod2[i][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
 
 
 def get_transition_matrix(
@@ -294,32 +392,68 @@ def get_transition_matrix(
     lri_pot,
     dm_vac,
     decay_flag=False,
-) -> C:
+):
     """Transition amplitude matrix (mass basis) for one layer
-    (cf. ``numba_osc_kernels.py:349``)."""
-    u = C.of(mix_nubar)
-    H_vac = C.of(H_vac)
-    H_decay = C.of(H_decay)
-    lri = jnp.asarray(lri_pot)
+    (cf. ``numba_osc_kernels.py:349``). Array/C/Mat polymorphic; scalar or
+    batched (N,) energy/rho/baseline. Returns C (3,3[,N])."""
+    u = mat_of(mix_nubar)
+    Hv = mat_of(H_vac)
+    Hd = mat_of(H_decay)
+    T = _layer_transition(
+        nubar,
+        jnp.asarray(energy),
+        jnp.asarray(rho),
+        jnp.asarray(baseline),
+        u,
+        mat_of(mat_pot),
+        Hv,
+        Hd,
+        jnp.asarray(lri_pot),
+        jnp.asarray(dm_vac),
+        decay_flag,
+    )
+    return mat_to_C(T)
+
+
+def _layer_transition(
+    nubar, energy, rho, baseline, u, mat_pot, H_vac, H_decay, lri_pot,
+    dm_vac, decay_flag,
+):
     H_mat = get_H_mat(rho, mat_pot, nubar)
     sign = 1.0 if nubar > 0 else -1.0
-    H_mat = C(H_mat.re + sign * lri * 1e9, H_mat.im)
+    H_mat = [
+        [
+            C(H_mat[i][j].re + sign * lri_pot[i, j] * 1e9, H_mat[i][j].im)
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
 
     one_over_two_e = 0.5 / energy
     if decay_flag:
-        H_full = (H_vac + H_decay) * one_over_two_e + H_mat
-        m = get_dms_numerical(energy, H_full)
+        Hvd = mat_add(H_vac, H_decay)
+        H_full = [
+            [Hvd[i][j] * one_over_two_e + H_mat[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        m = _eigvals_soa(H_full)
+        m = [mk * (2.0 * energy) for mk in m]
     else:
-        H_full = H_vac * one_over_two_e + H_mat
-        m_real = get_dms(energy, H_full, dm_vac)
-        m = C(m_real, jnp.zeros_like(m_real))
+        H_full = [
+            [H_vac[i][j] * one_over_two_e + H_mat[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        m_real = _dms_soa(energy, H_full, dm_vac)
+        m = [C(mr, jnp.zeros_like(mr)) for mr in m_real]
 
-    H_mass = u.conj_T() @ H_full @ u
-    return _transition_amplitude_massbasis(
-        baseline, energy, m, H_mass * (2.0 * energy)
-    )
+    H_mass = mat_mul(mat_mul(mat_conj_T(u), H_full), u)
+    H_mass_2e = mat_map(H_mass, lambda e: e * (2.0 * energy))
+    return _transition_soa(baseline, energy, m, H_mass_2e)
 
 
+# ---------------------------------------------------------------------------
+# Full propagation
+# ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("nubar", "decay_flag"))
 def osc_probs_layers(
     dm_vac,
@@ -339,77 +473,81 @@ def osc_probs_layers(
     Parameters
     ----------
     dm_vac : (3,3) real
-    mix : (3,3) complex (or C) PMNS matrix
+    mix : (3,3) complex / C / Mat PMNS matrix
     mat_pot : (3,3) complex generalized matter potential (diag(1,0,0) std)
     mat_decay : (3,3) complex decay matrix (-i*alpha3 at [2,2])
     lri_pot : (3,3) real LRI potential
     nubar : static int, +1 nu / -1 nubar
     energy : (N,) GeV
     densities : (N, L) electron column densities (mol/cm^3)
-    distances : (N, L) layer path lengths (km); zero-length slots are skipped
-        (identity transition)
+    distances : (N, L) layer path lengths (km); zero-length slots act as
+        identity
     decay_flag : static bool
 
     Returns
     -------
     probs : (N, 3, 3); probs[i, a, b] = P(nu_a -> nu_b)
     """
-    mix = C.of(mix)
-    mix_nubar = mix if nubar > 0 else mix.conj()
+    mix = mat_of(mix)
+    mix_nubar = mat_map(mix, lambda e: e) if nubar > 0 else mat_map(
+        mix, lambda e: e.conj()
+    )
     dm_vac = jnp.asarray(dm_vac)
-    mat_pot = C.of(mat_pot)
+    mat_pot = mat_of(mat_pot)
     lri_pot = jnp.asarray(lri_pot)
+    energy = jnp.asarray(energy)
+    densities = jnp.asarray(densities)
+    distances = jnp.asarray(distances)
 
     H_vac = get_H_vac(mix_nubar, dm_vac)
     if decay_flag:
-        H_decay = get_H_decay(mix_nubar, C.of(mat_decay))
+        H_decay = get_H_decay(mix_nubar, mat_of(mat_decay))
     else:
-        H_decay = C.zeros((3, 3), dtype=H_vac.re.dtype)
+        zero = jnp.zeros((), dtype=energy.dtype)
+        H_decay = [[C(zero, zero)] * 3 for _ in range(3)]
 
-    def one_layer_T(e, rho, dist):
-        T = get_transition_matrix(
-            nubar,
-            e,
-            rho,
-            dist,
-            mix_nubar,
-            mat_pot,
-            H_vac,
-            H_decay,
-            lri_pot,
-            dm_vac,
-            decay_flag=decay_flag,
+    n_layers = distances.shape[1]
+    one = jnp.ones_like(energy)
+    zero_n = jnp.zeros_like(energy)
+
+    # statically-unrolled ordered chain product, production-first; each new
+    # layer left-multiplies (cf. reference :289-294). All per-layer algebra
+    # is elementwise over the (N,) lane axis.
+    product = None
+    for l in range(n_layers):
+        rho = densities[:, l]
+        dist = distances[:, l]
+        T = _layer_transition(
+            nubar, energy, rho, dist, mix_nubar, mat_pot, H_vac, H_decay,
+            lri_pot, dm_vac, decay_flag,
         )
         keep = dist > 0.0
-        eye = jnp.eye(3, dtype=T.re.dtype)
-        return C(
-            jnp.where(keep, T.re, eye), jnp.where(keep, T.im, jnp.zeros_like(eye))
-        )
+        eye = [[one if i == j else zero_n for j in range(3)] for i in range(3)]
+        T = [
+            [
+                C(
+                    jnp.where(keep, T[i][j].re, eye[i][j]),
+                    jnp.where(keep, T[i][j].im, jnp.zeros_like(eye[i][j])),
+                )
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        product = T if product is None else mat_mul(T, product)
 
-    # transition matrices for every (point, layer)
-    per_point = jax.vmap(one_layer_T, in_axes=(None, 0, 0))  # over layers
-    all_T = jax.vmap(per_point, in_axes=(0, 0, 0))(
-        energy, densities, distances
-    )  # C with arrays (N, L, 3, 3)
+    # to flavor basis: U T U^dagger
+    product = mat_mul(mat_mul(mix_nubar, product), mat_conj_T(mix_nubar))
 
-    # ordered chain product: layers stored production-first; each new layer
-    # left-multiplies (cf. reference :289-294)
-    def step(carry, T_l):
-        return T_l @ carry, None
-
-    n = energy.shape[0]
-    init = C.eye(3, dtype=all_T.re.dtype, batch_shape=(n,))
-    layers_first = C(
-        jnp.moveaxis(all_T.re, 1, 0), jnp.moveaxis(all_T.im, 1, 0)
+    # probs[a, b] = |T_flavor[b, a]|^2 -> (N, 3, 3)
+    probs = jnp.stack(
+        [
+            jnp.stack([product[b][a].abs2() for b in range(3)], axis=-1)
+            for a in range(3)
+        ],
+        axis=-2,
     )
-    total, _ = jax.lax.scan(step, init, layers_first)
-
-    # to flavor basis: U T U^dagger, batched
-    u_b = C(mix_nubar.re[None], mix_nubar.im[None])
-    total = u_b @ total @ u_b.conj_T()
-
-    # probs[a, b] = |T_flavor[b, a]|^2
-    return jnp.swapaxes(total.abs2(), 1, 2)
+    # current shape: (N, a, b) with a as axis -2
+    return probs
 
 
 def propagate_grid(
