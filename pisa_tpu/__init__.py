@@ -80,4 +80,16 @@ CACHE_DIR = os.environ.get(
     ),
 )
 
+# Persistent XLA compilation cache (cf. reference CACHE_DIR holding numba's
+# compiled-function disk cache, ``pisa/__init__.py:96-120``): repeat runs of
+# bench/tests/fits skip recompiles of the big template programs.
+if os.environ.get("PISA_TPU_COMPILATION_CACHE", "1") not in ("0", "off"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache")
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from pisa_tpu.units import ureg, Quantity as Q_  # noqa: E402

@@ -7,18 +7,29 @@ originally after Wendell's Prob3++ / Barger et al.) as pure JAX functions.
 
 TPU-first design decisions:
 
-- **Structure-of-arrays layout**: a batched 3x3 complex matrix is a python
-  3x3 nest of :class:`C` split-complex (re, im) pairs whose entries are
-  (N,)-vectors over the grid/event points. The batch axis is the trailing
-  (lane) axis of every primitive op, so the VPU runs at full width; the
-  naive (N, 3, 3) layout pads the 3-wide trailing dims to 128 lanes and
-  wastes ~40x of the machine. The 3x3 algebra is unrolled in python (static)
-  and fuses into a handful of wide elementwise kernels.
+- **Structure-of-arrays layout**: a batched 3x3 complex matrix is a
+  :class:`C` split-complex (re, im) pair of ``(3, 3, N)`` arrays with the
+  grid/event batch on the trailing (lane) axis, so the VPU runs at full
+  lane width; the naive ``(N, 3, 3)`` layout pads the 3-wide trailing dims
+  to 128 lanes and wastes ~40x of the machine. Matrix products are unrolled
+  over the contraction index only (3 broadcasted complex multiply-adds on
+  ``(3, 3, N)`` blocks), keeping the HLO op count ~4x smaller than a fully
+  scalarized 3x3 nest — which is what keeps XLA compile times in seconds
+  (a fully scalarized Mat-of-C grad program compiles >10x slower).
+  Element-level formulas (eigenvalues) operate on zero-copy ``(N,)`` slices
+  of the stacked arrays. The python ``Mat`` (3x3 nest of C) helpers remain
+  for API-compat/test entry points.
 - split (re, im) real arithmetic throughout: the TPU backend supports no
   complex dtypes.
-- the per-event/per-layer numba loops become a statically-unrolled product
-  over zero-padded layer slots (distance 0 -> identity), replacing the
-  reference's data-dependent layer cache (``numba_osc_kernels.py:224-271``).
+- the per-event/per-layer numba loops become (a) ONE batched transition-
+  matrix computation with the layer axis folded into the lane axis — the
+  expensive eigenvalue/amplitude algebra appears exactly once in the HLO —
+  followed by (b) a cheap ``lax.scan`` over the layer axis for the ordered
+  chain product (zero-length padding slots act as identity). This replaces
+  the reference's data-dependent layer cache
+  (``numba_osc_kernels.py:224-271``) and keeps XLA compile time flat in the
+  number of layers (a python unroll of the full algebra compiles in minutes
+  for a 12-layer chain).
 - analytic characteristic-polynomial eigenvalues (``get_dms``) with
   vacuum-matched ordering, scale-normalized (the raw coefficients underflow
   fp32 at TeV energies; the reference escapes via numba's float64 promotion
@@ -112,6 +123,38 @@ def mat_add(a, b) -> list:
 
 def _czero_like(x):
     return C(jnp.zeros_like(x), jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Stacked 3x3 helpers: an "SMat" is a C whose re/im are (3, 3, ...) arrays
+# (batch trailing). This is the hot-path representation: elementwise ops hit
+# whole (3, 3, N) blocks in one HLO op; only matrix products unroll (over
+# the contraction index).
+# ---------------------------------------------------------------------------
+_EYE3 = np.eye(3)
+
+
+def smat_mul(a: C, b: C) -> C:
+    """Matrix product over the leading (3, 3) axes of stacked SMats,
+    broadcast over trailing axes: out[i,j] = sum_k a[i,k] b[k,j]."""
+    out = None
+    for k in range(3):
+        ak = C(a.re[:, k, None], a.im[:, k, None])  # (3, 1, ...)
+        bk = C(b.re[None, k], b.im[None, k])  # (1, 3, ...)
+        t = ak * bk
+        out = t if out is None else out + t
+    return out
+
+
+def smat_conj_T(a: C) -> C:
+    """Conjugate transpose over the leading (3, 3) axes."""
+    return C(jnp.swapaxes(a.re, 0, 1), -jnp.swapaxes(a.im, 0, 1))
+
+
+def smat_view(H: C) -> list:
+    """Zero-copy Mat (3x3 python nest) view of a stacked SMat, for the
+    element-level eigenvalue formulas."""
+    return [[C(H.re[i, j], H.im[i, j]) for j in range(3)] for i in range(3)]
 
 
 # ---------------------------------------------------------------------------
@@ -396,59 +439,94 @@ def get_transition_matrix(
     """Transition amplitude matrix (mass basis) for one layer
     (cf. ``numba_osc_kernels.py:349``). Array/C/Mat polymorphic; scalar or
     batched (N,) energy/rho/baseline. Returns C (3,3[,N])."""
-    u = mat_of(mix_nubar)
-    Hv = mat_of(H_vac)
-    Hd = mat_of(H_decay)
-    T = _layer_transition(
+    energy = jnp.asarray(energy)
+    scalar_in = jnp.ndim(energy) == 0
+    T = _layer_transition_stacked(
         nubar,
-        jnp.asarray(energy),
-        jnp.asarray(rho),
-        jnp.asarray(baseline),
-        u,
-        mat_of(mat_pot),
-        Hv,
-        Hd,
+        jnp.atleast_1d(energy),
+        jnp.atleast_1d(jnp.asarray(rho)),
+        jnp.atleast_1d(jnp.asarray(baseline)),
+        mat_to_C(mat_of(mix_nubar)),
+        mat_to_C(mat_of(mat_pot)),
+        mat_to_C(mat_of(H_vac)),
+        mat_to_C(mat_of(H_decay)),
         jnp.asarray(lri_pot),
         jnp.asarray(dm_vac),
         decay_flag,
     )
-    return mat_to_C(T)
+    if scalar_in:
+        T = C(T.re[..., 0], T.im[..., 0])
+    return T
 
 
-def _layer_transition(
-    nubar, energy, rho, baseline, u, mat_pot, H_vac, H_decay, lri_pot,
+def _layer_transition_stacked(
+    nubar, energy, rho, baseline, U, mat_pot, H_vac, H_decay, lri_pot,
     dm_vac, decay_flag,
 ):
-    H_mat = get_H_mat(rho, mat_pot, nubar)
+    """One-layer transition amplitudes (mass basis) for a flat batch.
+
+    energy/rho/baseline: (M,); U/mat_pot/H_vac/H_decay: stacked C (3,3);
+    lri_pot/dm_vac: (3,3) real. Returns stacked C (3, 3, M).
+    """
     sign = 1.0 if nubar > 0 else -1.0
-    H_mat = [
-        [
-            C(H_mat[i][j].re + sign * lri_pot[i, j] * 1e9, H_mat[i][j].im)
-            for j in range(3)
-        ]
-        for i in range(3)
-    ]
+    a = 0.5 * rho * TWO_SQRT2_GF  # (M,)
+    # H_mat = a*mat_pot (nu) / -a*conj(mat_pot) (nubar), + LRI on the real part
+    if nubar > 0:
+        H_mat = C(mat_pot.re[..., None] * a, mat_pot.im[..., None] * a)
+    else:
+        H_mat = C(mat_pot.re[..., None] * (-a), mat_pot.im[..., None] * a)
+    H_mat = C(H_mat.re + (sign * 1e9) * lri_pot[..., None], H_mat.im)
 
     one_over_two_e = 0.5 / energy
     if decay_flag:
-        Hvd = mat_add(H_vac, H_decay)
-        H_full = [
-            [Hvd[i][j] * one_over_two_e + H_mat[i][j] for j in range(3)]
-            for i in range(3)
-        ]
-        m = _eigvals_soa(H_full)
+        Hvd = H_vac + H_decay
+        H_full = C(
+            Hvd.re[..., None] * one_over_two_e + H_mat.re,
+            Hvd.im[..., None] * one_over_two_e + H_mat.im,
+        )
+        m = _eigvals_soa(smat_view(H_full))
         m = [mk * (2.0 * energy) for mk in m]
     else:
-        H_full = [
-            [H_vac[i][j] * one_over_two_e + H_mat[i][j] for j in range(3)]
-            for i in range(3)
-        ]
-        m_real = _dms_soa(energy, H_full, dm_vac)
+        H_full = C(
+            H_vac.re[..., None] * one_over_two_e + H_mat.re,
+            H_vac.im[..., None] * one_over_two_e + H_mat.im,
+        )
+        m_real = _dms_soa(energy, smat_view(H_full), dm_vac)
         m = [C(mr, jnp.zeros_like(mr)) for mr in m_real]
 
-    H_mass = mat_mul(mat_mul(mat_conj_T(u), H_full), u)
-    H_mass_2e = mat_map(H_mass, lambda e: e * (2.0 * energy))
-    return _transition_soa(baseline, energy, m, H_mass_2e)
+    Ub = C(U.re[..., None], U.im[..., None])
+    H_mass = smat_mul(smat_mul(smat_conj_T(Ub), H_full), Ub)
+    H_mass_2e = C(H_mass.re * (2.0 * energy), H_mass.im * (2.0 * energy))
+
+    # Barger et al. eq. 10 (cf. ``numba_osc_kernels.py:482,835``)
+    def HmM(k):
+        return C(
+            H_mass_2e.re - _EYE3[..., None] * m[k].re,
+            H_mass_2e.im - _EYE3[..., None] * m[k].im,
+        )
+
+    h0, h1, h2 = HmM(0), HmM(1), HmM(2)
+    d01 = m[0] - m[1]
+    d02 = m[0] - m[2]
+    d12 = m[1] - m[2]
+    inv0 = 1.0 / (d01 * d02)
+    inv1 = 1.0 / (d12 * (-d01))
+    inv2 = 1.0 / ((-d02) * (-d12))
+
+    # phase c_k = exp(i*arg), arg = -m_k*(L/E)*hbar_c (complex for decay)
+    s = -(baseline / energy) * HBAR_C_FACTOR
+
+    def phase(k):
+        ar = m[k].re * s
+        ai = m[k].im * s
+        ex = jnp.exp(-ai)
+        return C(ex * jnp.cos(ar), ex * jnp.sin(ar))
+
+    return (
+        (phase(0) * inv0) * smat_mul(h1, h2)
+        + (phase(1) * inv1) * smat_mul(h2, h0)
+        + (phase(2) * inv2) * smat_mul(h0, h1)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -488,66 +566,74 @@ def osc_probs_layers(
     -------
     probs : (N, 3, 3); probs[i, a, b] = P(nu_a -> nu_b)
     """
-    mix = mat_of(mix)
-    mix_nubar = mat_map(mix, lambda e: e) if nubar > 0 else mat_map(
-        mix, lambda e: e.conj()
-    )
+    if isinstance(mix, list):  # Mat input
+        mix = mat_to_C(mix)
+    elif not isinstance(mix, C):
+        mix = C.of(mix)
+    U = mix if nubar > 0 else mix.conj()
     dm_vac = jnp.asarray(dm_vac)
-    mat_pot = mat_of(mat_pot)
+    mat_pot = mat_to_C(mat_of(mat_pot))
     lri_pot = jnp.asarray(lri_pot)
     energy = jnp.asarray(energy)
     densities = jnp.asarray(densities)
     distances = jnp.asarray(distances)
 
-    H_vac = get_H_vac(mix_nubar, dm_vac)
+    H_vac = mat_to_C(get_H_vac(smat_view(U), dm_vac))
     if decay_flag:
-        H_decay = get_H_decay(mix_nubar, mat_of(mat_decay))
-    else:
-        zero = jnp.zeros((), dtype=energy.dtype)
-        H_decay = [[C(zero, zero)] * 3 for _ in range(3)]
-
-    n_layers = distances.shape[1]
-    one = jnp.ones_like(energy)
-    zero_n = jnp.zeros_like(energy)
-
-    # statically-unrolled ordered chain product, production-first; each new
-    # layer left-multiplies (cf. reference :289-294). All per-layer algebra
-    # is elementwise over the (N,) lane axis.
-    product = None
-    for l in range(n_layers):
-        rho = densities[:, l]
-        dist = distances[:, l]
-        T = _layer_transition(
-            nubar, energy, rho, dist, mix_nubar, mat_pot, H_vac, H_decay,
-            lri_pot, dm_vac, decay_flag,
+        H_decay = mat_to_C(
+            get_H_decay(smat_view(U), mat_of(mat_decay))
         )
-        keep = dist > 0.0
-        eye = [[one if i == j else zero_n for j in range(3)] for i in range(3)]
-        T = [
-            [
-                C(
-                    jnp.where(keep, T[i][j].re, eye[i][j]),
-                    jnp.where(keep, T[i][j].im, jnp.zeros_like(eye[i][j])),
-                )
-                for j in range(3)
-            ]
-            for i in range(3)
-        ]
-        product = T if product is None else mat_mul(T, product)
+    else:
+        z = jnp.zeros((3, 3), dtype=energy.dtype)
+        H_decay = C(z, z)
+
+    n_pts = energy.shape[0]
+    n_layers = distances.shape[1]
+    eye = _EYE3.astype(energy.dtype)
+
+    # (1) ALL layer transition matrices in ONE batched call: (layer, point)
+    # pairs fold into a single lane axis of size L*N, so the eigenvalue /
+    # Barger-amplitude algebra is traced exactly once regardless of chain
+    # length (a python unroll over layers compiles in minutes).
+    e_flat = jnp.broadcast_to(energy, (n_layers, n_pts)).reshape(-1)
+    rho_flat = jnp.swapaxes(densities, 0, 1).reshape(-1)
+    dist_flat = jnp.swapaxes(distances, 0, 1).reshape(-1)
+
+    T = _layer_transition_stacked(
+        nubar, e_flat, rho_flat, dist_flat, U, mat_pot, H_vac, H_decay,
+        lri_pot, dm_vac, decay_flag,
+    )
+
+    # zero-length padding slots act as identity
+    keep = dist_flat > 0.0
+    T = C(
+        jnp.where(keep, T.re, eye[..., None]),
+        jnp.where(keep, T.im, jnp.zeros((), dtype=energy.dtype)),
+    )
+    # re-split the lane axis into a leading (L,) scan axis: (L, 3, 3, N)
+    T_stack = C(
+        T.re.reshape(3, 3, n_layers, n_pts).transpose(2, 0, 1, 3),
+        T.im.reshape(3, 3, n_layers, n_pts).transpose(2, 0, 1, 3),
+    )
+
+    # (2) ordered chain product, production-first; each new layer
+    # left-multiplies (cf. reference :289-294) — a tiny 3x3 scan body.
+    init = C(
+        jnp.broadcast_to(eye[..., None], (3, 3, n_pts)),
+        jnp.zeros((3, 3, n_pts), dtype=energy.dtype),
+    )
+
+    def chain_body(prod, T_l):
+        return smat_mul(T_l, prod), None
+
+    product, _ = jax.lax.scan(chain_body, init, T_stack)
 
     # to flavor basis: U T U^dagger
-    product = mat_mul(mat_mul(mix_nubar, product), mat_conj_T(mix_nubar))
+    Ub = C(U.re[..., None], U.im[..., None])
+    product = smat_mul(smat_mul(Ub, product), smat_conj_T(Ub))
 
-    # probs[a, b] = |T_flavor[b, a]|^2 -> (N, 3, 3)
-    probs = jnp.stack(
-        [
-            jnp.stack([product[b][a].abs2() for b in range(3)], axis=-1)
-            for a in range(3)
-        ],
-        axis=-2,
-    )
-    # current shape: (N, a, b) with a as axis -2
-    return probs
+    # probs[n, a, b] = |T_flavor[b, a, n]|^2 -> (N, 3, 3)
+    return jnp.transpose(product.abs2(), (2, 1, 0))
 
 
 def propagate_grid(
