@@ -168,6 +168,23 @@ class CompiledTemplate:
 
         return fn
 
+    # -- sharding ----------------------------------------------------------------
+    def shard(self, mesh, axis_name="data"):
+        """Shard the template's event/grid axis across a device mesh.
+
+        Every container array is device_put with its leading axis
+        partitioned over `mesh`; XLA then partitions the compiled template
+        program (SPMD), inserting the needed collectives (psum for binned
+        reductions). The TPU-native replacement for the reference's llh
+        server farm (``pisa/utils/llh_server.py:64-120``). Returns self.
+        """
+        from pisa_tpu.parallel import shard_containers
+
+        shard_containers(self.pipeline.data, mesh, axis_name=axis_name)
+        self._jitted = jax.jit(self._build_fn())
+        self._grad_cache = {}
+        return self
+
     # -- evaluation -------------------------------------------------------------
     def __call__(self, rescaled_vector):
         """Raw evaluation: dict with 'hist' (and 'error') name->flat array."""
