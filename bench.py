@@ -1,17 +1,20 @@
 """
-Benchmark: compiled-template throughput on the oscillation-analysis pipeline.
+Benchmark: compiled-template throughput on the flagship IceCube 3-year
+oscillation pipeline (+ the oscillogram pipeline as a secondary workload).
 
 Mirrors the reference's benchmark procedure
 (``pisa/scripts/benchmark_pipeline_performance.py:35-46,196-223``): evaluate
 N randomized-parameter templates, excluding the first (compile) call, and
 report the mean rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline metric (IceCube-3y templates/s); secondary metrics go to stderr.
 
-The reference cannot run in this environment (numba is not installed), so
-the baseline is the reference's own CPU procedure measured as our eager CPU
-fp64 evaluation of the identical pipeline, captured once and fixed below
-(CPU_BASELINE_TEMPLATES_PER_SEC). vs_baseline = TPU rate / CPU baseline rate.
+Baselines (see BASELINE_MEASURED.md for procedure): the reference cannot run
+here (numba is not installed), so the baseline is this framework's own eager
+CPU fp64 evaluation of the identical pipeline — architecturally the closest
+runnable analog of the reference's per-stage numba CPU evaluation — measured
+on this machine (1 vCPU) and pinned below.
 """
 
 from __future__ import annotations
@@ -22,26 +25,25 @@ import time
 
 import numpy as np
 
-
-# Eager CPU fp64 evaluation rate for the same full osc_example pipeline
-# (200x200 grid, 12 flavors -> 2 propagations), measured on this machine:
-# ~2.2 s/template steady-state => 0.45 templates/s. This stands in for the
-# (unrunnable-here) numba reference, which computes the same per-point
-# layer-chain propagation on CPU.
-CPU_BASELINE_TEMPLATES_PER_SEC = 0.45
+# Eager CPU fp64 per-stage evaluation rates measured on this machine
+# (1 vCPU), 10 randomized templates excluding the first; see
+# BASELINE_MEASURED.md for the exact procedure and raw output.
+CPU_BASELINE = {
+    "icecube_3y": 0.046,  # templates/s (21.71 s/template)
+    "osc_example": 0.45,  # templates/s
+}
 
 N_TEMPLATES = 50
 
 
-def main():
+def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     import jax
+    import jax.numpy as jnp
 
     from pisa_tpu.core.pipeline import Pipeline
 
-    import jax.numpy as jnp
-
     t_setup = time.time()
-    pipeline = Pipeline("settings/pipeline/osc_example.cfg")
+    pipeline = Pipeline(cfg)
     ct = pipeline.compile()
     v0 = ct.current_rescaled_values()
     n_free = len(v0)
@@ -50,39 +52,69 @@ def main():
     # backend's block_until_ready does not actually synchronize; only host
     # transfers do), and matches the fit-loop access pattern
     fn = ct._build_fn()
-    tot_fn = jax.jit(
-        lambda v: sum(jnp.sum(h) for h in fn(v)["hist"].values())
-    )
+    tot_fn = jax.jit(lambda v: sum(jnp.sum(h) for h in fn(v)["hist"].values()))
 
-    # first call: compile (excluded from timing)
-    float(tot_fn(v0))
+    float(tot_fn(v0))  # compile (excluded)
     t_compiled = time.time()
 
     rng = np.random.RandomState(0)
-    vecs = rng.uniform(0.05, 0.95, size=(N_TEMPLATES, n_free))
+    vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free))
 
     t0 = time.time()
     for v in vecs:
         float(tot_fn(v))  # materialize the scalar -> full synchronization
     t1 = time.time()
+    per_template = (t1 - t0) / n_templates
+    return {
+        "rate": 1.0 / per_template,
+        "ms_per_template": per_template * 1000,
+        "setup_compile_s": t_compiled - t_setup,
+        "n_free": n_free,
+    }
 
-    per_template = (t1 - t0) / N_TEMPLATES
-    rate = 1.0 / per_template
-    grid_points = pipeline.output_binning.size
+
+def main():
+    import jax
+
+    # headline: flagship IceCube 3-year pipeline (csv events -> honda flux ->
+    # barr -> prob3 -> aeff -> hist -> hypersurfaces)
+    r3y = _bench_pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
     result = {
-        "metric": "osc_example_templates_per_sec",
-        "value": round(rate, 3),
+        "metric": "icecube_3y_templates_per_sec",
+        "value": round(r3y["rate"], 3),
         "unit": "templates/s",
-        "vs_baseline": round(rate / CPU_BASELINE_TEMPLATES_PER_SEC, 2),
+        "vs_baseline": round(r3y["rate"] / CPU_BASELINE["icecube_3y"], 2),
     }
     print(json.dumps(result))
     print(
-        f"# setup+compile {t_compiled - t_setup:.1f}s;"
-        f" {per_template * 1000:.1f} ms/template;"
-        f" {grid_points * rate:,.0f} gridpoints/s x 2 propagations;"
-        f" platform={jax.devices()[0].platform}",
+        f"# icecube_3y: setup+compile {r3y['setup_compile_s']:.1f}s;"
+        f" {r3y['ms_per_template']:.1f} ms/template; {r3y['n_free']} free"
+        f" params; platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+
+    try:
+        rosc = _bench_pipeline("settings/pipeline/osc_example.cfg")
+        print(
+            json.dumps(
+                {
+                    "metric": "osc_example_templates_per_sec",
+                    "value": round(rosc["rate"], 3),
+                    "unit": "templates/s",
+                    "vs_baseline": round(
+                        rosc["rate"] / CPU_BASELINE["osc_example"], 2
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+        print(
+            f"# osc_example: setup+compile {rosc['setup_compile_s']:.1f}s;"
+            f" {rosc['ms_per_template']:.1f} ms/template",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # secondary workload must not kill the bench
+        print(f"# osc_example bench failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

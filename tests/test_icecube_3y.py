@@ -1,0 +1,87 @@
+"""
+End-to-end tests of the flagship IceCube 3-year pipelines (eager path; the
+compiled path is exercised on small configs in test_pipeline_e2e and on TPU
+by bench.py — XLA-compiling the full 240k-event template takes minutes on a
+1-core CPU).
+"""
+
+import numpy as np
+import pytest
+
+from pisa_tpu.core.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def neutrino_pipeline():
+    return Pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
+
+
+def test_neutrino_pipeline_runs(neutrino_pipeline):
+    out = neutrino_pipeline.get_outputs()
+    assert len(out) == 12
+    tot = sum(float(np.asarray(m.hist).sum()) for m in out)
+    # sane expected-event count for 2.5 years of DeepCore-like exposure
+    assert 1e3 < tot < 1e6
+    # numu CC dominates nue CC at these energies
+    numu = float(np.asarray(out["numu_cc"].hist).sum())
+    nue = float(np.asarray(out["nue_cc"].hist).sum())
+    assert numu > nue
+    # errors present (sumw2)
+    assert out["numu_cc"].error_hist is not None
+
+
+def test_oscillation_suppresses_numu(neutrino_pipeline):
+    """Moving theta23 toward its range edge (31 deg, weaker mixing) must
+    raise the numu CC rate relative to near-maximal mixing."""
+    p = neutrino_pipeline
+    out_osc = p.get_outputs()
+    numu_osc = float(np.asarray(out_osc["numu_cc"].hist).sum())
+
+    saved = p.params["theta23"].value
+    try:
+        from pisa_tpu import ureg
+
+        p.params["theta23"].value = 31.0 * ureg.degree
+        out_no = p.get_outputs()
+        numu_no = float(np.asarray(out_no["numu_cc"].hist).sum())
+    finally:
+        p.params["theta23"].value = saved
+    assert numu_no > numu_osc * 1.02
+
+
+def test_hypersurface_params_change_template(neutrino_pipeline):
+    p = neutrino_pipeline
+    base = float(
+        np.asarray(
+            sum(np.asarray(m.hist).sum() for m in p.get_outputs())
+        )
+    )
+    saved = p.params["opt_eff_overall"].value
+    try:
+        from pisa_tpu import ureg
+
+        p.params["opt_eff_overall"].value = 1.1
+        shifted = float(
+            np.asarray(
+                sum(np.asarray(m.hist).sum() for m in p.get_outputs())
+            )
+        )
+    finally:
+        p.params["opt_eff_overall"].value = saved
+    assert shifted != base
+
+
+def test_muon_and_data_pipelines():
+    muons = Pipeline("settings/pipeline/IceCube_3y_muons.cfg")
+    out = muons.get_outputs()
+    assert len(out) == 1
+    icc = out["icc"]
+    # the release's muon histogram holds ~850 expected background events
+    assert 100 < float(np.asarray(icc.hist).sum()) < 1e4
+
+    data = Pipeline("settings/pipeline/IceCube_3y_data.cfg")
+    dout = data.get_outputs()
+    total = dout["total"]
+    # the 3-year data sample holds ~40k events
+    assert 1e4 < float(np.asarray(total.hist).sum()) < 1e5
+    assert np.all(np.asarray(total.hist) >= 0)
