@@ -151,13 +151,21 @@ class CompiledTemplate:
                 pipeline.data.representation = self.output_binning
                 hists = {}
                 errs = {}
+                extras = {}
                 for c in pipeline.data.containers:
                     hists[c.name] = jnp.asarray(c[self.output_key]).ravel()
                     if self.error_key is not None:
                         errs[c.name] = jnp.asarray(c[self.error_key]).ravel()
+                    # generalized-llh inputs, when the pipeline produces them
+                    for key in ("llh_alphas", "llh_betas", "n_mc_events"):
+                        if key in c.keys:
+                            extras.setdefault(key, {})[c.name] = jnp.asarray(
+                                c[key]
+                            ).ravel()
                 out = {"hist": hists}
                 if self.error_key is not None:
                     out["error"] = errs
+                out.update(extras)
                 return out
             finally:
                 for p, v in zip(self._free_params, saved_values):
@@ -247,10 +255,36 @@ class CompiledTemplate:
         rescale = self._rescale
         base_fn = self._build_fn()
 
+        generalized = metric == "generalized_poisson_llh"
+        if generalized:
+            # static recursion length from the (concrete) summed data counts
+            total_data = sum(np.asarray(v) for v in data.values())
+            k_max = max(1, int(np.ceil(np.max(total_data))))
+
         def objective(vec):
             out = base_fn(vec)
             hists = out["hist"]
-            if sum_maps:
+            if generalized:
+                # per-source stacked mixture inputs (cf. reference
+                # stats.py:792: expected_values as dict of MapSets)
+                names = list(hists.keys())
+                expected = {
+                    "weights": jnp.stack([hists[n] for n in names]),
+                    "llh_alphas": jnp.stack(
+                        [out["llh_alphas"][n] for n in names]
+                    ),
+                    "llh_betas": jnp.stack(
+                        [out["llh_betas"][n] for n in names]
+                    ),
+                    "n_mc_events": jnp.stack(
+                        [out["n_mc_events"][n] for n in names]
+                    ),
+                }
+                total_dat = sum(data.values())
+                total = jnp.sum(
+                    metric_fn(total_dat, expected, k_max=k_max)
+                )
+            elif sum_maps:
                 total_exp = sum(hists.values())
                 total_dat = sum(data.values())
                 total = jnp.sum(metric_fn(total_dat, total_exp))

@@ -266,16 +266,19 @@ def conv_llh(actual, expected, variance=0.0, nsigma=3, steps=50):
     return out.reshape(a.shape)
 
 
-def generalized_poisson_llh(actual, expected=None, empty_bins=None):
-    """Generalized Poisson-gamma mixture llh (arXiv:1902.08831 eqs. 91/97).
+def generalized_poisson_llh(actual, expected=None, empty_bins=None, k_max=None):
+    """Generalized Poisson-gamma mixture llh (arXiv:1902.08831 eqs. 91/97;
+    cf. reference ``stats.py:792`` + ``llh_defs/poisson_gamma.c``).
 
     See :mod:`pisa_tpu.utils.llh_defs` for the mixture implementation; this
     wrapper expects `expected` to be a mapping with entries computed by the
     ``likelihood.generalized_llh_params`` stage: 'llh_alphas', 'llh_betas',
     'weights', 'n_mc_events' — each an array of shape (n_sources, n_bins).
+    `k_max` (static recursion length >= max data count) is required when
+    `actual` is traced.
     """
     from pisa_tpu.utils.llh_defs.poisson import generalized_pg_llh
 
     return generalized_pg_llh(
-        actual, expected, empty_bins=empty_bins
+        actual, expected, empty_bins=empty_bins, k_max=k_max
     )
