@@ -271,7 +271,20 @@ class BasicAnalysis:
             return data_dist
         if isinstance(data_dist, Map):
             return MapSet([data_dist])
+        if isinstance(data_dist, (list, tuple)):
+            return [self._data_total(d) for d in data_dist]
         return data_dist
+
+    @staticmethod
+    def _metric_total(data_total, hypo_dist, metric):
+        """Metric total; per-detector lists are summed (cf. reference
+        ``analysis.py:2591-2601``)."""
+        if isinstance(data_total, (list, tuple)):
+            return sum(
+                BasicAnalysis._metric_total(d, h, metric)
+                for d, h in zip(data_total, hypo_dist)
+            )
+        return data_total.metric_total(hypo_dist, metric)
 
     # ---------------------------------------------------------------- objective
     def _minimizer_callable(
@@ -285,8 +298,8 @@ class BasicAnalysis:
 
         data_total = self._data_total(data_dist)
         try:
-            metric_val = data_total.metric_total(
-                hypo_asimov_dist, metric
+            metric_val = self._metric_total(
+                data_total, hypo_asimov_dist, metric
             ) + hypo_maker.params.priors_penalty(metric=metric)
         except Exception:
             logging.exception("Metric evaluation failed")
@@ -568,8 +581,8 @@ class BasicAnalysis:
         hypo = hypo_maker.get_outputs(return_sum=True)
         counter += 1
         data_total = self._data_total(data_dist)
-        metric_val = data_total.metric_total(
-            hypo, metric_name
+        metric_val = self._metric_total(
+            data_total, hypo, metric_name
         ) + hypo_maker.params.priors_penalty(metric=metric_name)
         result = HypoFitResult(
             metric=metric,

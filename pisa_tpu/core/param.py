@@ -454,6 +454,9 @@ class ParamSet(MutableSequence):
     def _as_param(p):
         if isinstance(p, Param):
             return p
+        # duck-typed param views (e.g. Detectors' suffixed-param proxies)
+        if hasattr(p, "name") and hasattr(p, "prior_penalty"):
+            return p
         if isinstance(p, dict):
             if "depends_names" in p or "function" in p:
                 return DerivedParam.from_state(p)
