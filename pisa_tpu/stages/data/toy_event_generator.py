@@ -93,5 +93,6 @@ def init_test(**param_kwargs):
         ]
     )
     return toy_event_generator(
-        output_names=["numu", "nue_bar"], params=param_set
+        output_names=["numu", "nue_bar"], params=param_set,
+        calc_mode="events",
     )
