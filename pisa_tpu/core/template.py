@@ -78,9 +78,16 @@ class CompiledTemplate:
         else:
             self.output_key, self.error_key = output_key, None
 
+        # host params: the global default blacklist plus whatever each stage
+        # declares via a `host_param_names` attribute (preferred; new stages
+        # with host-side precomputation must declare theirs)
+        host_params = set(HOST_PARAM_NAMES)
+        for stage in pipeline.stages:
+            host_params.update(getattr(stage, "host_param_names", ()))
+
         free = pipeline.params.free
         for p in free:
-            if p.name in HOST_PARAM_NAMES:
+            if p.name in host_params:
                 raise ValueError(
                     f"Free param {p.name!r} steers host-side precomputation"
                     " and cannot be part of a compiled template; fix it or"

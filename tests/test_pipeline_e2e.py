@@ -88,3 +88,36 @@ class TestOscExamplePipeline:
         p.setup()
         m2 = p.get_outputs()["numu_cc"].hist
         np.testing.assert_allclose(m1, m2)
+
+
+class TestExamplePipeline:
+    """The reference's flagship example.cfg: simple_data_loader -> barr ->
+    prob3 (grid->events) -> aeff -> hist, with sumw2 errors."""
+
+    def test_runs_and_compiles(self):
+        import numpy as np
+        from pisa_tpu.core.pipeline import Pipeline
+
+        p = Pipeline("settings/pipeline/example.cfg")
+        out = p.get_outputs()
+        assert len(out) == 12
+        tot = sum(float(np.asarray(m.hist).sum()) for m in out)
+        assert np.isfinite(tot) and tot > 0
+        assert out["numu_cc"].error_hist is not None
+
+        ct = p.compile()
+        r = ct(ct.current_rescaled_values())
+        tot_c = sum(float(np.asarray(h).sum()) for h in r["hist"].values())
+        assert np.isclose(tot_c, tot, rtol=1e-6)
+
+    def test_param_selection_switch(self):
+        import numpy as np
+        from pisa_tpu.core.pipeline import Pipeline
+
+        p = Pipeline("settings/pipeline/example.cfg")
+        out_nh = p.get_outputs()
+        nh_total = float(np.asarray(out_nh["numu_cc"].hist).sum())
+        p.select_params(["ih", "earth"])
+        out_ih = p.get_outputs()
+        ih_total = float(np.asarray(out_ih["numu_cc"].hist).sum())
+        assert nh_total != ih_total
