@@ -1,0 +1,130 @@
+"""
+Barlow-Beeston likelihood validation (addresses round-1 review: the
+closed-form single-source profile was never validated against the published
+iterative solver).
+
+Checks, per bin:
+1. the closed-form stationary point equals a brute-force numerical
+   maximization of the single-source conditional likelihood;
+2. against a direct transcription of the published multi-source
+   Barlow-Beeston solution (doi:10.1016/0010-4655(93)90005-W) with one
+   source — identical by construction;
+3. the single-effective-source approximation stays within a small, known
+   tolerance of the true two-source profile for typical MC statistics.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import brentq, minimize_scalar
+from scipy.special import gammaln
+
+from pisa_tpu.utils.stats import barlow_llh
+
+
+def _single_source_numeric(d, e, var):
+    """Numerically maximize L(A) = d ln(wA) - wA + N ln A - A."""
+    N = e**2 / var
+    w = var / e
+
+    def neg_l(A):
+        return -(d * np.log(w * A) - w * A + N * np.log(A) - A)
+
+    res = minimize_scalar(
+        neg_l, bounds=(1e-6, 10 * (d + N)), method="bounded",
+        options={"xatol": 1e-12},
+    )
+    A = res.x
+    llh = (
+        d * np.log(w * A) - w * A - gammaln(d + 1)
+        + N * np.log(A) - A - gammaln(N + 1)
+    )
+    llh_sat = N * np.log(N) - N - gammaln(N + 1)
+    return llh - llh_sat
+
+
+def _barlow_beeston_multisource(d, a_counts, weights):
+    """Published Barlow-Beeston per-bin solution for S sources: solve for t
+    in  d / (1 - t) = sum_s w_s a_s / (1 + w_s t)  (their eq. for the bin),
+    then A_s = a_s / (1 + w_s t). Returns the profiled llh (saturated-MC
+    subtracted)."""
+    a_counts = np.asarray(a_counts, dtype=float)
+    weights = np.asarray(weights, dtype=float)
+
+    def f(t):
+        return sum(
+            w * a / (1.0 + w * t) for a, w in zip(a_counts, weights)
+        ) - d / (1.0 - t)
+
+    # t in (-1/max(w), 1); find bracketing root
+    lo = -0.999999 / weights.max() + 1e-12
+    hi = 1.0 - 1e-12
+    if d == 0:
+        t = 1.0 - 1e-12  # limit: A_s = a_s / (1 + w_s)
+    else:
+        t = brentq(f, lo, hi, xtol=1e-14)
+    A = a_counts / (1.0 + weights * t)
+    fpred = np.sum(weights * A)
+    llh = d * np.log(fpred) - fpred - gammaln(d + 1)
+    llh += np.sum(a_counts * np.log(A) - A - gammaln(a_counts + 1))
+    llh_sat = np.sum(
+        a_counts * np.log(np.clip(a_counts, 1e-300, None))
+        - a_counts
+        - gammaln(a_counts + 1)
+    )
+    return llh - llh_sat
+
+
+def test_closed_form_matches_numerical_profile():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        d = rng.randint(0, 50)
+        e = rng.uniform(1, 40)
+        var = rng.uniform(0.05, 5)
+        ours = float(
+            np.asarray(
+                barlow_llh(np.array([d]), np.array([e]), np.array([var]))
+            )[0]
+        )
+        ref = _single_source_numeric(float(d), e, var)
+        assert ours == pytest.approx(ref, abs=1e-6), (d, e, var)
+
+
+def test_matches_published_single_source_solution():
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        d = rng.randint(1, 60)
+        e = rng.uniform(1, 40)
+        var = rng.uniform(0.05, 5)
+        N = e**2 / var  # unweighted count
+        w = var / e
+        ours = float(
+            np.asarray(
+                barlow_llh(np.array([d]), np.array([e]), np.array([var]))
+            )[0]
+        )
+        ref = _barlow_beeston_multisource(float(d), [N], [w])
+        assert ours == pytest.approx(ref, abs=1e-6)
+
+
+def test_single_effective_source_approximation_quality():
+    """Two MC sources merged into one effective source: the approximation
+    used by this framework (variance-summed single source) must stay close
+    to the true two-source profile for healthy MC statistics."""
+    rng = np.random.RandomState(2)
+    max_abs_err = 0.0
+    for _ in range(30):
+        # two sources with different weights, decent statistics
+        a1, a2 = rng.randint(20, 200), rng.randint(20, 200)
+        w1, w2 = rng.uniform(0.05, 1.0), rng.uniform(0.05, 1.0)
+        e = a1 * w1 + a2 * w2
+        var = a1 * w1**2 + a2 * w2**2
+        d = rng.poisson(e)
+        ours = float(
+            np.asarray(
+                barlow_llh(np.array([d]), np.array([e]), np.array([var]))
+            )[0]
+        )
+        ref = _barlow_beeston_multisource(float(d), [a1, a2], [w1, w2])
+        max_abs_err = max(max_abs_err, abs(ours - ref))
+    # per-bin llh agreement within a small fraction of a unit
+    assert max_abs_err < 0.05, max_abs_err
