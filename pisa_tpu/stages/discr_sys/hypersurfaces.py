@@ -42,14 +42,27 @@ class hypersurfaces(Stage):  # noqa: N801
         self,
         fit_results_file,
         propagate_uncertainty=False,
+        interpolated=False,
         links=None,
         **std_kwargs,
     ):
         self.fit_results_file = fit_results_file
         self.propagate_uncertainty = propagate_uncertainty
-        self.hypersurfaces = hs.load_hypersurfaces(
-            fit_results_file, expected_binning=std_kwargs.get("calc_mode")
-        )
+        self.interpolated = interpolated
+        self.inter_params = []
+        if interpolated:
+            self.hypersurfaces = hs.load_interpolated_hypersurfaces(
+                fit_results_file,
+                expected_binning=std_kwargs.get("calc_mode"),
+            )
+            self.inter_params = list(
+                self.hypersurfaces.values()
+            )[0].interpolation_param_names
+        else:
+            self.hypersurfaces = hs.load_hypersurfaces(
+                fit_results_file,
+                expected_binning=std_kwargs.get("calc_mode"),
+            )
         self.hypersurface_param_names = list(
             self.hypersurfaces.values()
         )[0].param_names
@@ -59,7 +72,9 @@ class hypersurfaces(Stage):  # noqa: N801
             expected_container_keys.append("errors")
 
         super().__init__(
-            expected_params=tuple(self.hypersurface_param_names),
+            expected_params=tuple(
+                self.hypersurface_param_names + self.inter_params
+            ),
             expected_container_keys=tuple(expected_container_keys),
             supported_reps={"calc_mode": [MultiDimBinning]},
             **std_kwargs,
@@ -95,9 +110,18 @@ class hypersurfaces(Stage):  # noqa: N801
             name: self.params[name].value.magnitude
             for name in self.hypersurface_param_names
         }
+        if self.interpolated:
+            # interpolation-point params are host-side (static per compute);
+            # take concrete magnitudes
+            osc_params = {
+                name: np.asarray(self.params[name].value.magnitude)
+                for name in self.inter_params
+            }
 
         for container in self.data:
             surface = self.hypersurfaces[container.name]
+            if self.interpolated:
+                surface = surface.get_hypersurface(**osc_params)
             if self.propagate_uncertainty:
                 scales, unc = surface.evaluate(
                     param_values, return_uncertainty=True

@@ -468,3 +468,165 @@ def _load_hypersurfaces_data_release(prototype, binning):
             )
         out[map_name] = hs
     return out
+
+
+# -- interpolated hypersurfaces --------------------------------------------------
+class HypersurfaceInterpolator:
+    """Interpolate fitted hypersurface coefficients across (oscillation)
+    parameters on a rectilinear grid (cf. reference
+    ``pisa/utils/hypersurface/hyper_interpolator.py:48``): piecewise-linear
+    ``RegularGridInterpolator`` over the packed per-bin coefficient vectors
+    (and covariances), producing a :class:`Hypersurface` at any point.
+
+    Parameters
+    ----------
+    interpolation_param_spec : dict (ordered)
+        {name: {"values": [...], "scales_log": bool}}
+    hs_fits : list of Hypersurface
+        one per grid point, ordered as np.ndindex over the grid shape.
+    ignore_nan : bool
+        replace non-finite fits by identity (intercept 1, slopes 0).
+    """
+
+    def __init__(self, interpolation_param_spec, hs_fits, ignore_nan=True):
+        from scipy.interpolate import RegularGridInterpolator
+
+        self.interp_param_spec = OrderedDict(interpolation_param_spec)
+        self.grid_values = [
+            np.asarray(
+                [getattr(v, "magnitude", v) for v in spec["values"]],
+                dtype=np.float64,
+            )
+            for spec in self.interp_param_spec.values()
+        ]
+        self.scales_log = [
+            bool(spec.get("scales_log", False))
+            for spec in self.interp_param_spec.values()
+        ]
+        grid_axes = [
+            np.log10(v) if lg else v
+            for v, lg in zip(self.grid_values, self.scales_log)
+        ]
+        interp_shape = tuple(len(v) for v in self.grid_values)
+        if int(np.prod(interp_shape)) != len(hs_fits):
+            raise ValueError(
+                f"need {int(np.prod(interp_shape))} fits for grid"
+                f" {interp_shape}; got {len(hs_fits)}"
+            )
+
+        self._reference = hs_fits[0]
+        thetas = np.stack(
+            [hs._packed_theta() for hs in hs_fits]
+        ).reshape(interp_shape + hs_fits[0]._packed_theta().shape)
+        if ignore_nan:
+            bad = ~np.isfinite(thetas)
+            # identity surface: intercept 1 (exp(0) in log mode), slopes 0
+            fill = np.zeros_like(thetas)
+            fill[..., 0] = 0.0 if self._reference.log else 1.0
+            thetas = np.where(bad, fill, thetas)
+        self._theta_interp = RegularGridInterpolator(
+            grid_axes, thetas, bounds_error=False, fill_value=None
+        )
+        covs = [
+            hs.fit_cov_mat
+            if hs.fit_cov_mat is not None
+            else np.zeros(
+                (hs.binning.size, hs.num_coeffts, hs.num_coeffts)
+            )
+            for hs in hs_fits
+        ]
+        covs = np.stack(covs).reshape(interp_shape + covs[0].shape)
+        covs = np.nan_to_num(covs)
+        self._cov_interp = RegularGridInterpolator(
+            grid_axes, covs, bounds_error=False, fill_value=None
+        )
+
+    @property
+    def interpolation_param_names(self):
+        return list(self.interp_param_spec.keys())
+
+    @property
+    def param_names(self):
+        return self._reference.param_names
+
+    @property
+    def binning(self):
+        return self._reference.binning
+
+    def get_hypersurface(self, **param_kw):
+        """Hypersurface at the given interpolation-param point (values may
+        be Quantities or plain magnitudes)."""
+        point = []
+        for name, lg in zip(self.interpolation_param_names, self.scales_log):
+            if name not in param_kw:
+                raise ValueError(f"missing interpolation param {name!r}")
+            v = param_kw[name]
+            v = getattr(v, "magnitude", v)
+            v = float(np.asarray(v))
+            point.append(np.log10(v) if lg else v)
+        theta = np.asarray(self._theta_interp([point])[0])
+        cov = np.asarray(self._cov_interp([point])[0])
+
+        hs = Hypersurface(
+            binning=self._reference.binning,
+            param_names=self._reference.param_names,
+            func_names=self._reference.func_names,
+            nominal_values=self._reference.nominal_values,
+            log=self._reference.log,
+            using_legacy_data=self._reference.using_legacy_data,
+        )
+        hs.intercept = theta[:, 0].astype(FTYPE)
+        _, blocks = hs._unpack(theta)
+        hs.coeffts = {k: np.asarray(v, dtype=FTYPE) for k, v in blocks.items()}
+        hs.fit_cov_mat = cov
+        hs.fit_valid = np.isfinite(theta).all(axis=1)
+        return hs
+
+    # -- serialization ----------------------------------------------------------
+    @property
+    def state(self):
+        spec = OrderedDict(
+            (
+                name,
+                {
+                    "values": list(vals),
+                    "scales_log": lg,
+                },
+            )
+            for name, vals, lg in zip(
+                self.interpolation_param_names, self.grid_values,
+                self.scales_log,
+            )
+        )
+        return {"interp_param_spec": spec, "hs_fits": self._hs_fit_states}
+
+    @classmethod
+    def from_fits(cls, interpolation_param_spec, hs_fits, **kw):
+        obj = cls(interpolation_param_spec, hs_fits, **kw)
+        obj._hs_fit_states = [hs.state for hs in hs_fits]
+        return obj
+
+
+def save_interpolated_hypersurfaces(interpolators, path):
+    """Serialize {map_name: HypersurfaceInterpolator} (built via
+    ``HypersurfaceInterpolator.from_fits``) to JSON."""
+    to_json({k: v.state for k, v in interpolators.items()}, path)
+
+
+def load_interpolated_hypersurfaces(input_file, expected_binning=None):
+    """Load interpolated hypersurfaces (cf. reference
+    ``hyper_interpolator.py:920``). Returns
+    OrderedDict map_name -> HypersurfaceInterpolator."""
+    state = from_json(find_resource(input_file))
+    out = OrderedDict()
+    for name, s in state.items():
+        fits = [Hypersurface.from_state(f) for f in s["hs_fits"]]
+        interp = HypersurfaceInterpolator.from_fits(
+            s["interp_param_spec"], fits
+        )
+        if expected_binning is not None and tuple(
+            interp.binning.shape
+        ) != tuple(expected_binning.shape):
+            raise ValueError("binning mismatch in interpolated hypersurfaces")
+        out[name] = interp
+    return out

@@ -1,0 +1,242 @@
+"""
+Map/MapSet plotting (cf. reference ``pisa/utils/plotter.py:62``): 1-D
+projections and 2-D colormap arrays of binned maps, grids of maps per
+MapSet, optional ratio/comparison panels, log axes, and stamps.
+
+matplotlib is an optional dependency: import errors surface only when a
+Plotter is actually instantiated.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["Plotter"]
+
+
+class Plotter:
+    """Parameters
+    ----------
+    outdir : str — where `dump` writes files
+    fmt : str or list — file format(s), e.g. 'pdf', 'png'
+    stamp : str — text stamp drawn on each panel
+    log : bool — log color/means scale
+    annotate : bool — write bin values into 2-D cells
+    symmetric : bool — symmetric color range around zero
+    """
+
+    def __init__(
+        self,
+        outdir=".",
+        stamp=None,
+        fmt="pdf",
+        log=True,
+        annotate=False,
+        symmetric=False,
+        ratio=False,
+    ):
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt  # noqa: F401
+
+        self.outdir = outdir
+        self.stamp = stamp
+        self.fmt = [fmt] if isinstance(fmt, str) else list(fmt)
+        self.log = log
+        self.annotate = annotate
+        self.symmetric = symmetric
+        self.ratio = ratio
+        self.fig = None
+        self.axes = None
+
+    # -- low-level ---------------------------------------------------------------
+    def init_fig(self, figsize=(8, 6)):
+        import matplotlib.pyplot as plt
+
+        self.fig, self.axes = plt.subplots(figsize=figsize)
+        return self.fig, self.axes
+
+    def add_stamp(self, ax=None, text=None):
+        import matplotlib.pyplot as plt
+
+        ax = ax or plt.gca()
+        text = text if text is not None else self.stamp
+        if text:
+            ax.text(
+                0.02, 0.98, text, transform=ax.transAxes, va="top",
+                ha="left", fontsize=9,
+            )
+
+    def dump(self, fname):
+        """Save the current figure as `<outdir>/<fname>.<fmt>`."""
+        import matplotlib.pyplot as plt
+
+        os.makedirs(self.outdir, exist_ok=True)
+        paths = []
+        for fmt in self.fmt:
+            path = os.path.join(self.outdir, f"{fname}.{fmt}")
+            plt.savefig(path, bbox_inches="tight")
+            paths.append(path)
+        plt.close("all")
+        self.fig = None
+        return paths
+
+    # -- 2-D maps ------------------------------------------------------------------
+    def plot_2d_map(self, map_obj, ax=None, cmap="viridis", **kw):
+        """Pseudocolor of a 2-D map (or a 2-D slice of higher-dim maps)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.colors import LogNorm, Normalize
+
+        if ax is None:
+            if self.fig is None:
+                self.init_fig()
+            ax = self.axes
+
+        binning = map_obj.binning
+        hist = np.asarray(map_obj.hist)
+        if hist.ndim != 2:
+            raise ValueError("plot_2d_map requires a 2-D map")
+        x = np.asarray(binning[binning.names[0]].bin_edges.magnitude)
+        y = np.asarray(binning[binning.names[1]].bin_edges.magnitude)
+
+        vmax = np.nanmax(np.abs(hist)) if hist.size else 1.0
+        if self.symmetric:
+            norm = Normalize(vmin=-vmax, vmax=vmax)
+            cmap = kw.pop("cmap", "RdBu_r")
+        elif self.log and np.all(hist >= 0) and np.nanmax(hist) > 0:
+            positive = hist[hist > 0]
+            norm = LogNorm(
+                vmin=positive.min() if positive.size else 1e-3, vmax=vmax
+            )
+        else:
+            norm = Normalize(vmin=np.nanmin(hist), vmax=vmax)
+
+        pc = ax.pcolormesh(x, y, hist.T, cmap=cmap, norm=norm, **kw)
+        plt.colorbar(pc, ax=ax)
+        ax.set_xlabel(binning.names[0])
+        ax.set_ylabel(binning.names[1])
+        if binning[binning.names[0]].is_log:
+            ax.set_xscale("log")
+        if binning[binning.names[1]].is_log:
+            ax.set_yscale("log")
+        if self.annotate:
+            xc = np.asarray(
+                binning[binning.names[0]].weighted_centers.magnitude
+            )
+            yc = np.asarray(
+                binning[binning.names[1]].weighted_centers.magnitude
+            )
+            for i in range(hist.shape[0]):
+                for j in range(hist.shape[1]):
+                    ax.text(
+                        xc[i], yc[j], f"{hist[i, j]:.3g}", ha="center",
+                        va="center", fontsize=6,
+                    )
+        ax.set_title(map_obj.name)
+        self.add_stamp(ax)
+        return ax
+
+    def plot_2d_array(self, mapset, fname=None, n_cols=4, **kw):
+        """Grid of 2-D maps for a whole MapSet (3-D maps are split along
+        their last dimension)."""
+        import matplotlib.pyplot as plt
+
+        panels = []
+        for m in mapset:
+            if len(m.binning.names) == 2:
+                panels.append(m)
+            elif len(m.binning.names) == 3:
+                panels.extend(m.split(m.binning.names[-1]))
+            else:
+                raise ValueError("can only plot 2-D or 3-D maps")
+
+        n = len(panels)
+        n_rows = int(np.ceil(n / n_cols))
+        self.fig, axes = plt.subplots(
+            n_rows, n_cols, figsize=(4 * n_cols, 3.2 * n_rows), squeeze=False
+        )
+        for i, m in enumerate(panels):
+            self.plot_2d_map(m, ax=axes[i // n_cols][i % n_cols], **kw)
+        for j in range(n, n_rows * n_cols):
+            axes[j // n_cols][j % n_cols].axis("off")
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    # -- 1-D projections --------------------------------------------------------------
+    def plot_1d_projection(self, map_obj, axis, ax=None, errors=True, **kw):
+        """Histogram-style 1-D projection of a map onto `axis`."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            if self.fig is None:
+                self.init_fig()
+            ax = self.axes
+        proj = map_obj.project(axis) if len(map_obj.binning.names) > 1 else map_obj
+        dim = proj.binning[axis]
+        edges = np.asarray(dim.bin_edges.magnitude)
+        vals = np.asarray(proj.hist)
+        ax.step(
+            np.repeat(edges, 2)[1:-1], np.repeat(vals, 2),
+            label=map_obj.name, **kw,
+        )
+        if errors and proj.error_hist is not None:
+            centers = np.asarray(dim.weighted_centers.magnitude)
+            ax.errorbar(
+                centers, vals, yerr=np.asarray(proj.error_hist),
+                fmt="none", ecolor="gray", alpha=0.6,
+            )
+        ax.set_xlabel(axis)
+        ax.set_ylabel("counts")
+        if dim.is_log:
+            ax.set_xscale("log")
+        if self.log:
+            ax.set_yscale("log")
+        self.add_stamp(ax)
+        return ax
+
+    def plot_1d_all(self, mapset, axis, fname=None, **kw):
+        """All maps of a MapSet projected on one axis, overlaid."""
+        import matplotlib.pyplot as plt
+
+        self.init_fig()
+        for m in mapset:
+            self.plot_1d_projection(m, axis, ax=self.axes, **kw)
+        self.axes.legend(fontsize=8)
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    def plot_1d_ratio(self, maps, axis, fname=None, **kw):
+        """Ratio of 1-D projections relative to the first map."""
+        import matplotlib.pyplot as plt
+
+        self.init_fig()
+        ref = None
+        for m in maps:
+            proj = (
+                m.project(axis) if len(m.binning.names) > 1 else m
+            )
+            vals = np.asarray(proj.hist, dtype=np.float64)
+            if ref is None:
+                ref = vals
+                continue
+            dim = proj.binning[axis]
+            edges = np.asarray(dim.bin_edges.magnitude)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(ref > 0, vals / ref, np.nan)
+            self.axes.step(
+                np.repeat(edges, 2)[1:-1], np.repeat(ratio, 2),
+                label=m.name, **kw,
+            )
+        self.axes.axhline(1.0, color="k", lw=0.5)
+        self.axes.set_xlabel(axis)
+        self.axes.set_ylabel("ratio")
+        self.axes.legend(fontsize=8)
+        self.add_stamp(self.axes)
+        if fname:
+            return self.dump(fname)
+        return self.fig

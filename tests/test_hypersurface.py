@@ -180,3 +180,44 @@ def test_data_release_csv_loading():
     assert scale.shape == (binning.size,)
     # at the nominal point the correction should be near unity on average
     assert 0.8 < np.nanmean(scale) < 1.2
+
+
+def test_interpolator_roundtrip_and_linearity(binning, tmp_path):
+    """HypersurfaceInterpolator: linear interpolation of coefficients across
+    a 1-D dm31 grid + serialization round-trip (cf. reference
+    hyper_interpolator.py:48)."""
+    from pisa_tpu.utils.hypersurface import (
+        HypersurfaceInterpolator,
+        load_interpolated_hypersurfaces,
+        save_interpolated_hypersurfaces,
+    )
+
+    grid = [2.0e-3, 2.5e-3, 3.0e-3]
+    fits = []
+    for v in grid:
+        hs = Hypersurface(
+            binning, ["dom_eff"], {"dom_eff": "linear"},
+            nominal_values={"dom_eff": 1.0},
+        )
+        hs.intercept[:] = 1.0 + 100.0 * v  # linear in the grid param
+        hs.coeffts["dom_eff"][:, 0] = 10.0 * v
+        fits.append(hs)
+
+    spec = {"deltam31": {"values": grid, "scales_log": False}}
+    interp = HypersurfaceInterpolator.from_fits(spec, fits)
+
+    mid = interp.get_hypersurface(deltam31=2.25e-3)
+    assert np.allclose(mid.intercept, 1.0 + 100.0 * 2.25e-3)
+    assert np.allclose(mid.coeffts["dom_eff"][:, 0], 10.0 * 2.25e-3)
+
+    # evaluation includes the interpolated slopes
+    scale = np.asarray(mid.evaluate({"dom_eff": 1.2}))
+    assert np.allclose(
+        scale, 1.0 + 100.0 * 2.25e-3 + 10.0 * 2.25e-3 * 0.2
+    )
+
+    path = str(tmp_path / "interp_hs.json")
+    save_interpolated_hypersurfaces({"numu_cc": interp}, path)
+    loaded = load_interpolated_hypersurfaces(path)["numu_cc"]
+    re_mid = loaded.get_hypersurface(deltam31=2.25e-3)
+    assert np.allclose(re_mid.intercept, mid.intercept)
