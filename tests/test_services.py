@@ -32,7 +32,7 @@ TEST_BINNING = MultiDimBinning(
 # services whose data is produced by the service itself (sources)
 SOURCE_SERVICES = {
     "toy_event_generator", "grid", "csv_loader", "csv_data_hist",
-    "csv_icc_hist", "simple_data_loader",
+    "csv_icc_hist", "simple_data_loader", "sqlite_loader",
 }
 # synthetic values per known container key
 def _key_value(key, rng, n):
@@ -54,6 +54,16 @@ def _key_value(key, rng, n):
         return rng.uniform(0.1, 0.9, n).astype(FTYPE)
     if key == "dis":
         return rng.choice([0.0, 1.0], n).astype(FTYPE)
+    if key in (
+        "mHNL", "hnl_proper_lifetime", "hnl_decay_width",
+    ):
+        return rng.uniform(0.5, 1.5, n).astype(FTYPE)
+    if key == "hnl_true_energy":
+        return 10 ** rng.uniform(0.1, 1.9, n).astype(FTYPE)
+    if key == "hnl_distance_min":
+        return np.full(n, 10.0, dtype=FTYPE)
+    if key == "hnl_distance_max":
+        return np.full(n, 100.0, dtype=FTYPE)
     if key == "bin_indices":
         return rng.randint(0, TEST_BINNING.size, n).astype(np.int32)
     if key.startswith(("linear_fit_", "quad_fit_")):
