@@ -32,7 +32,7 @@ TEST_BINNING = MultiDimBinning(
 # services whose data is produced by the service itself (sources)
 SOURCE_SERVICES = {
     "toy_event_generator", "grid", "csv_loader", "csv_data_hist",
-    "csv_icc_hist", "simple_data_loader", "sqlite_loader",
+    "csv_icc_hist", "simple_data_loader", "sqlite_loader", "meows_loader",
 }
 # synthetic values per known container key
 def _key_value(key, rng, n):
