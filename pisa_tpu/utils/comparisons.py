@@ -17,6 +17,10 @@ __all__ = [
     "recursiveAllclose",
     "interpret_quantity",
     "normQuant",
+    "isvalidname",
+    "isscalar",
+    "isbarenumeric",
+    "inf2finite",
 ]
 
 FTYPE_PREC = np.finfo(FTYPE).eps
@@ -89,3 +93,43 @@ def recursiveEquality(x, y, rtol=None, atol=None):
 
 def recursiveAllclose(x, y, **kwargs):
     return recursiveEquality(x, y, **kwargs)
+
+
+# -- small predicates (cf. reference comparisons.py) ---------------------------
+import re as _re  # noqa: E402
+
+_VALID_NAME_RE = _re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def isvalidname(x):
+    """Is `x` a valid Python identifier-style name?"""
+    return isinstance(x, str) and bool(_VALID_NAME_RE.match(x))
+
+
+def isscalar(x):
+    """Is `x` a scalar (number, 0-d array, or scalar Quantity)?"""
+    if isinstance(x, Quantity):
+        x = x.magnitude
+    return isinstance(x, numbers.Number) or (
+        isinstance(x, np.ndarray) and x.ndim == 0
+    )
+
+
+def isbarenumeric(x):
+    """Is `x` numeric WITHOUT units attached?"""
+    if isinstance(x, Quantity):
+        return False
+    if isinstance(x, numbers.Number):
+        return True
+    if isinstance(x, np.ndarray) and x.dtype.kind in "biufc":
+        return True
+    return False
+
+
+def inf2finite(x):
+    """Map +-inf to the largest/smallest finite values of the dtype."""
+    x = np.asarray(x)
+    if x.dtype.kind not in "fc":
+        return x
+    info = np.finfo(x.dtype)
+    return np.clip(x, info.min, info.max)

@@ -121,3 +121,54 @@ class TestComparisons:
     def test_quantity_equality(self):
         assert recursiveEquality(1 * ureg.km, 1000 * ureg.m)
         assert not recursiveEquality(1 * ureg.km, 1 * ureg.m)
+
+
+class TestSplineUtils:
+    """Spline/CombinedSpline/spline_smooth (cf. reference spline.py)."""
+
+    def test_spline_get_map(self):
+        import numpy as np
+        from pisa_tpu import ureg
+        from pisa_tpu.core.binning import MultiDimBinning, OneDimBinning
+        from pisa_tpu.core.map import Map
+        from pisa_tpu.utils.spline import CombinedSpline, Spline
+
+        binning = MultiDimBinning(
+            [OneDimBinning("true_energy", num_bins=10, is_log=True,
+                           domain=[1, 100] * ureg.GeV)],
+            name="b",
+        )
+
+        def eval_spl(spline, b, name=""):
+            x = np.asarray(b["true_energy"].weighted_centers.magnitude)
+            return Map(name=name, hist=spline(x), binning=b)
+
+        s = Spline("numu_cc", spline=lambda x: x**-2, eval_spl=eval_spl)
+        m = s.get_map(binning)
+        assert m.hist.shape == (10,)
+        assert np.all(np.diff(np.asarray(m.hist)) < 0)
+
+        cs = CombinedSpline([s])
+        ms = cs.get_mapset(binning)
+        assert ms.names == ["numu_cc"]
+
+    def test_spline_smooth(self):
+        import numpy as np
+        from pisa_tpu import ureg
+        from pisa_tpu.core.binning import OneDimBinning
+        from pisa_tpu.utils.spline import spline_smooth
+
+        b = OneDimBinning("e", num_bins=20, is_lin=True, domain=[0, 10])
+        rng = np.random.RandomState(0)
+        x = np.asarray(b.weighted_centers.magnitude)
+        truth = np.stack([np.sin(x / 2), np.cos(x / 2)], axis=1)
+        noisy = truth + rng.normal(0, 0.05, truth.shape)
+        smoothed = spline_smooth(
+            noisy, b, b, axis=0, smooth_factor=0.5,
+            errors=np.full(truth.shape, 0.05),
+        )
+        # smoothing reduces the residual vs truth
+        assert (
+            np.abs(smoothed - truth).mean()
+            < np.abs(noisy - truth).mean()
+        )
