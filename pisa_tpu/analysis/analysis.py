@@ -231,9 +231,13 @@ def _copy_param(p):
 class BasicAnalysis:
     """Fitting driver (cf. reference ``analysis.py:486,2685``)."""
 
+    # compiled objectives are keyed on the hypo maker identity + trace-
+    # relevant state, so they can safely be shared across Analysis instances
+    # (compiling a template objective is expensive)
+    _compiled_cache = {}
+
     def __init__(self):
         self.blindness = False
-        self._compiled_cache = {}
 
     # ------------------------------------------------------------------ utils
     @staticmethod
@@ -255,12 +259,9 @@ class BasicAnalysis:
             tuple(hypo_maker.params.free.names),
             tuple(getattr(hypo_maker, "param_selections", [])),
             tuple(str(p.value) for p in hypo_maker.params.fixed),
-            # ranges define the [0,1] rescaling baked into the trace; octant
-            # and ranges strategies change them mid-fit
-            tuple(
-                (str(p.range[0]), str(p.range[1]), p.scales_as_log)
-                for p in hypo_maker.params.free
-            ),
+            # note: param RANGES are runtime inputs of the compiled objective
+            # (CompiledDistribution._current_bounds), so octant/ranges
+            # strategies reuse the same executable
         )
         if key not in self._compiled_cache:
             self._compiled_cache[key] = CompiledDistribution(hypo_maker)

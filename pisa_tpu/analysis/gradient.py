@@ -66,15 +66,30 @@ class CompiledDistribution:
         self._sum_jitted = jax.jit(self._build_sum_fn())
 
     # -- shared building blocks -------------------------------------------------
+    def _current_bounds(self):
+        """Live param-range bounds — runtime inputs, so octant/range changes
+        do not recompile (cf. CompiledTemplate._current_bounds)."""
+        los, his = [], []
+        for p in self._free_params:
+            los.append(float(p.range[0].m_as(p.units)))
+            his.append(float(p.range[1].m_as(p.units)))
+        return np.asarray(los), np.asarray(his)
+
     def _build_sum_fn(self):
         templates = self.templates
         index_maps = self.index_maps
 
-        def fn(vec):
+        def fn(vec, los=None, his=None):
             total = None
             for ct, idx in zip(templates, index_maps):
-                sub = vec[idx] if len(idx) else jnp.zeros((0,), vec.dtype)
-                out = ct._build_fn()(sub)
+                if len(idx):
+                    sub = vec[idx]
+                    sub_lo = None if los is None else los[idx]
+                    sub_hi = None if his is None else his[idx]
+                else:
+                    sub = jnp.zeros((0,), vec.dtype)
+                    sub_lo = sub_hi = None
+                out = ct._build_fn()(sub, sub_lo, sub_hi)
                 s = None
                 for h in out["hist"].values():
                     s = h if s is None else s + h
@@ -95,7 +110,12 @@ class CompiledDistribution:
     def sum_hist(self, vec=None):
         if vec is None:
             vec = self.current_rescaled_values()
-        return np.asarray(self._sum_jitted(jnp.asarray(vec)))
+        los, his = self._current_bounds()
+        return np.asarray(
+            self._sum_jitted(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+        )
 
     def get_outputs(self, vec=None, return_sum=True):
         """MapSet of the summed template (or list per pipeline)."""
@@ -165,8 +185,8 @@ class CompiledDistribution:
             "signed_sqrt_mod_chi2",
         )
 
-        def objective(vec):
-            exp = sum_fn(vec)
+        def objective(vec, los, his):
+            exp = sum_fn(vec, los, his)
             if uses_variance:
                 v = data_var if data_var is not None else jnp.zeros_like(exp)
                 vals = metric_fn(data, exp, v)
@@ -180,23 +200,21 @@ class CompiledDistribution:
                 for i, p in enumerate(free_params):
                     if p.prior is None:
                         continue
-                    lo = p.range[0].m_as(p.units)
-                    hi = p.range[1].m_as(p.units)
+                    lo, hi = los[i], his[i]
                     if p.scales_as_log:
                         mag = (
                             jnp.exp(
                                 vec[i]
-                                * (
-                                    jnp.log(np.abs(hi))
-                                    - jnp.log(np.abs(lo))
-                                )
+                                * (jnp.log(jnp.abs(hi)) - jnp.log(jnp.abs(lo)))
                             )
                             * lo
                         )
                     else:
                         mag = lo + (hi - lo) * vec[i]
                     if p.prior.units is not None:
-                        x = Quantity(mag, p.units).m_as(p.prior.units)
+                        # unit conversion is a static factor: convert 1 unit
+                        factor = Quantity(1.0, p.units).m_as(p.prior.units)
+                        x = mag * factor
                     else:
                         x = mag
                     llh = jnp.squeeze(p.prior.llh_jax(x))
@@ -205,6 +223,19 @@ class CompiledDistribution:
 
             return -total if maximize else total
 
-        value_fn = jax.jit(objective)
-        vg_fn = jax.jit(jax.value_and_grad(objective))
+        value_jit = jax.jit(objective)
+        vg_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
+
+        def value_fn(vec):
+            los, his = self._current_bounds()
+            return value_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
+        def vg_fn(vec):
+            los, his = self._current_bounds()
+            return vg_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
         return value_fn, vg_fn

@@ -83,6 +83,7 @@ class Pipeline:
             stage_name, service_name = key
             cls = self._import_service(stage_name, service_name)
             settings = dict(settings)
+            settings.setdefault("profile", self.profile)
             stage = cls(**settings)
             stage.data = self.data
             self.stages.append(stage)
@@ -321,20 +322,42 @@ class Pipeline:
         )
 
     # -- profiling -------------------------------------------------------------
+    @staticmethod
+    def _format_times(times):
+        """'n=..., total=..., mean +- std, min/max' summary of a timing list
+        (cf. reference ``format.format_times``)."""
+        t = np.asarray(times, dtype=np.float64)
+        if t.size == 0:
+            return "n=0"
+        return (
+            f"n={t.size}, total={t.sum():.4f} s,"
+            f" mean={t.mean() * 1e3:.2f} +- {t.std() * 1e3:.2f} ms,"
+            f" min={t.min() * 1e3:.2f} ms, max={t.max() * 1e3:.2f} ms"
+        )
+
     def report_profile(self, detailed=False):
+        """Per-pipeline (and with `detailed`, per-stage setup/compute/apply)
+        timing summary (cf. reference ``pipeline.py:148-187``,
+        ``stage.py:233-246``)."""
         print(f"Pipeline: {self.name}")
         if self._setup_times:
-            print(f"  setup:       {np.sum(self._setup_times):.3f} s")
+            print(f"  setup:       {self._format_times(self._setup_times)}")
         if self._run_times:
-            print(
-                f"  run:         n={len(self._run_times)},"
-                f" mean={np.mean(self._run_times):.4f} s"
-            )
+            print(f"  run:         {self._format_times(self._run_times)}")
         if self._get_outputs_times:
             print(
-                f"  get_outputs: n={len(self._get_outputs_times)},"
-                f" mean={np.mean(self._get_outputs_times):.4f} s"
+                f"  get_outputs: {self._format_times(self._get_outputs_times)}"
             )
+        if detailed:
+            for stage in self.stages:
+                print(f"  {stage}:")
+                for label, times in (
+                    ("setup", stage.setup_times),
+                    ("compute", stage.calc_times),
+                    ("apply", stage.apply_times),
+                ):
+                    if times:
+                        print(f"    {label}: {self._format_times(times)}")
 
     def __str__(self):
         stages = " -> ".join(str(s) for s in self.stages)

@@ -151,7 +151,14 @@ class Stage:
             raise ValueError(f"{self}: no data container set")
         if self.calc_mode is not None and self.data is not None:
             self.data.representation = self.calc_mode
-        self.setup_function()
+        if self.profile:
+            import time as _time
+
+            t0 = _time.time()
+            self.setup_function()
+            self.setup_times.append(_time.time() - t0)
+        else:
+            self.setup_function()
         if not self.in_standalone_mode:
             self._check_exp_keys_in_data(error_on_missing=False)
 
@@ -168,7 +175,14 @@ class Stage:
                 return
         if self.calc_mode is not None:
             self.data.representation = self.calc_mode
-        self.compute_function()
+        if self.profile and not self._trace_mode:
+            import time as _time
+
+            t0 = _time.time()
+            self.compute_function()
+            self.calc_times.append(_time.time() - t0)
+        else:
+            self.compute_function()
         if not self._trace_mode:
             self.param_hash = self.params.values_hash
 
@@ -178,7 +192,14 @@ class Stage:
     def apply(self):
         if self.apply_mode is not None:
             self.data.representation = self.apply_mode
-        self.apply_function()
+        if self.profile and not self._trace_mode:
+            import time as _time
+
+            t0 = _time.time()
+            self.apply_function()
+            self.apply_times.append(_time.time() - t0)
+        else:
+            self.apply_function()
 
     def apply_function(self):
         """Override: per-evaluation application (weights *= ...)."""

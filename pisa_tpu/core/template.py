@@ -107,14 +107,25 @@ class CompiledTemplate:
         self._grad_cache = {}
 
     # -- trace construction ----------------------------------------------------
-    def _magnitudes_from_rescaled(self, vec):
+    def _current_bounds(self):
+        """Live param-range bounds (magnitudes) — passed as runtime inputs so
+        range changes (octant / ranges fit strategies) do NOT recompile."""
+        los, his = [], []
+        for p in self._free_params:
+            los.append(float(p.range[0].m_as(p.units)))
+            his.append(float(p.range[1].m_as(p.units)))
+        return np.asarray(los), np.asarray(his)
+
+    def _magnitudes_from_rescaled(self, vec, los=None, his=None):
+        if los is None or his is None:
+            los, his = self._current_bounds()
         mags = []
-        for i, (lo, hi, log_scale) in enumerate(self._rescale):
+        for i, (_, _, log_scale) in enumerate(self._rescale):
             v = vec[i]
+            lo, hi = los[i], his[i]
             if log_scale:
-                s_lo, s_hi = (lo, hi) if lo > 0 else (-lo, -hi)
                 mag = jnp.exp(
-                    v * (jnp.log(np.abs(s_hi)) - jnp.log(np.abs(s_lo)))
+                    v * (jnp.log(jnp.abs(hi)) - jnp.log(jnp.abs(lo)))
                 ) * lo
             else:
                 mag = lo + (hi - lo) * v
@@ -144,8 +155,8 @@ class CompiledTemplate:
     def _build_fn(self):
         pipeline = self.pipeline
 
-        def fn(vec):
-            mags = self._magnitudes_from_rescaled(vec)
+        def fn(vec, los=None, his=None):
+            mags = self._magnitudes_from_rescaled(vec, los, his)
             snapshot = self._snapshot()
             saved_values = [p._value for p in self._free_params]
             for stage in pipeline.stages:
@@ -203,7 +214,10 @@ class CompiledTemplate:
     # -- evaluation -------------------------------------------------------------
     def __call__(self, rescaled_vector):
         """Raw evaluation: dict with 'hist' (and 'error') name->flat array."""
-        return self._jitted(jnp.asarray(rescaled_vector))
+        los, his = self._current_bounds()
+        return self._jitted(
+            jnp.asarray(rescaled_vector), jnp.asarray(los), jnp.asarray(his)
+        )
 
     def current_rescaled_values(self):
         return np.asarray(
@@ -268,8 +282,8 @@ class CompiledTemplate:
             total_data = sum(np.asarray(v) for v in data.values())
             k_max = max(1, int(np.ceil(np.max(total_data))))
 
-        def objective(vec):
-            out = base_fn(vec)
+        def objective(vec, los=None, his=None):
+            out = base_fn(vec, los, his)
             hists = out["hist"]
             if generalized:
                 # per-source stacked mixture inputs (cf. reference
@@ -301,7 +315,7 @@ class CompiledTemplate:
                     total = total + jnp.sum(metric_fn(d, hists[name]))
             # prior penalties, in the same metric family (llh or chi2 = -2llh)
             penalty = 0.0
-            mags = self._magnitudes_from_rescaled(vec)
+            mags = self._magnitudes_from_rescaled(vec, los, his)
             for p, mag in zip(self._free_params, mags):
                 if priors and p.prior is not None:
                     if p.prior.units is not None:
@@ -315,6 +329,19 @@ class CompiledTemplate:
             total = total + penalty
             return -total if maximize else total
 
-        value_and_grad = jax.jit(jax.value_and_grad(objective))
-        value_only = jax.jit(objective)
+        value_jit = jax.jit(objective)
+        vg_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
+
+        def value_only(vec):
+            los, his = self._current_bounds()
+            return value_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
+        def value_and_grad(vec):
+            los, his = self._current_bounds()
+            return vg_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
         return value_only, value_and_grad

@@ -35,10 +35,10 @@ def setup(tmp_path_factory):
 def test_posterior_matches_likelihood_curvature(setup):
     p, ct, data = setup
     chain, logp, acceptance = mcmc_sampling(
-        ct, data, metric="llh", n_walkers=16, n_steps=300, n_burnin=150,
+        ct, data, metric="llh", n_walkers=16, n_steps=200, n_burnin=100,
         seed=1,
     )
-    assert chain.shape == (300, 16, 1)
+    assert chain.shape == (200, 16, 1)
     assert 0.1 < acceptance < 0.95, acceptance
 
     samples = chain[:, :, 0].ravel()
