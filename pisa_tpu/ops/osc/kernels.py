@@ -544,9 +544,17 @@ def osc_probs_layers(
     densities,
     distances,
     decay_flag=False,
+    chain_map=None,
 ):
     """Oscillation probabilities through a chain of matter layers, batched
     over points (cf. ``osc_probs_layers_kernel``, ``numba_osc_kernels.py:122``).
+
+    With `chain_map` given, `densities`/`distances` hold only the UNIQUE
+    (N, Lu) layer pairs of each chain and ``chain_map`` (N, L) int32 maps
+    chain position -> unique slot (see
+    :func:`pisa_tpu.ops.osc.layers.dedup_layers`) — the TPU analog of the
+    reference's in-kernel layer cache: the expensive transition algebra runs
+    over ~half the slots, the ordered product gathers per step.
 
     Parameters
     ----------
@@ -622,6 +630,17 @@ def osc_probs_layers(
         jnp.broadcast_to(eye[..., None], (3, 3, n_pts)),
         jnp.zeros((3, 3, n_pts), dtype=energy.dtype),
     )
+
+    if chain_map is not None:
+        # expand the unique transitions back to the full (L, 3, 3, N) chain
+        # with ONE gather; the transition algebra above only ran over the
+        # ~half-size unique slots
+        chain_map = jnp.asarray(chain_map, dtype=jnp.int32)
+        sel = jnp.swapaxes(chain_map, 0, 1)[:, None, None, :]  # (L,1,1,N)
+        T_stack = C(
+            jnp.take_along_axis(T_stack.re, sel, axis=0),
+            jnp.take_along_axis(T_stack.im, sel, axis=0),
+        )
 
     def chain_body(prod, T_l):
         return smat_mul(T_l, prod), None

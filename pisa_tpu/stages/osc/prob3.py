@@ -70,8 +70,15 @@ class prob3(Stage):  # noqa: N801
         neutrino_decay=False,
         tomography_type=None,
         lri_type=None,
+        layer_dedup=False,
         **std_kwargs,
     ):
+        # collapse mirrored chain segments to unique (density, distance)
+        # pairs (the reference kernel's layer cache, done once at setup).
+        # Measured on TPU v5e the re-expansion gather costs more than the
+        # saved transition FLOPs (157 vs 99 ms/template on the 3y pipeline),
+        # so this defaults to off; it can win on gather-cheap backends.
+        self.layer_dedup = layer_dedup
         expected_params = [
             "detector_depth",
             "earth_model",
@@ -220,12 +227,24 @@ class prob3(Stage):  # noqa: N801
             self.data.link_containers("nu", _ALL_FLAVS)
         for container in self.data:
             self.layers.calcLayers(np.asarray(container["true_coszen"]))
-            container["densities"] = self.layers.density.reshape(
+            densities = self.layers.density.reshape(
                 (container.size, self.layers.max_layers)
             )
-            container["distances"] = self.layers.distance.reshape(
+            distances = self.layers.distance.reshape(
                 (container.size, self.layers.max_layers)
             )
+            if self.layer_dedup:
+                from pisa_tpu.ops.osc.layers import dedup_layers
+
+                uniq_d, uniq_x, chain_map = dedup_layers(
+                    densities, distances
+                )
+                container["densities"] = uniq_d
+                container["distances"] = uniq_x
+                container["layer_chain_map"] = chain_map
+            else:
+                container["densities"] = densities
+                container["distances"] = distances
         self.data.unlink_containers()
 
     # -- compute --------------------------------------------------------------
@@ -364,6 +383,11 @@ class prob3(Stage):  # noqa: N801
 
         ctype = np.complex128 if FTYPE == np.float64 else np.complex64
         for container in self.data:
+            chain_map = (
+                jnp.asarray(container["layer_chain_map"])
+                if self.layer_dedup
+                else None
+            )
             probs = osc_probs_layers(
                 dm,
                 mix,
@@ -375,6 +399,7 @@ class prob3(Stage):  # noqa: N801
                 jnp.asarray(container["densities"], dtype=FTYPE),
                 jnp.asarray(container["distances"], dtype=FTYPE),
                 decay_flag=bool(self.neutrino_decay),
+                chain_map=chain_map,
             )
             container["probability"] = probs
             container.mark_changed("probability")
