@@ -93,6 +93,48 @@ def main():
         file=sys.stderr,
     )
 
+    # batched evaluation (the scan/MCMC access pattern): vmap over many
+    # parameter vectors per device call amortizes the per-call dispatch
+    # latency (~35 ms through the axon tunnel on this setup)
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from pisa_tpu.core.pipeline import Pipeline as _Pipeline
+
+        p = _Pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
+        ct = p.compile()
+        fn = ct._build_fn()
+        lo, hi = map(_jnp.asarray, ct._current_bounds())
+        tot = lambda v: sum(  # noqa: E731
+            _jnp.sum(h) for h in fn(v, lo, hi)["hist"].values()
+        )
+        btot = _jax.jit(_jax.vmap(tot))
+        v0 = _jnp.asarray(ct.current_rescaled_values())
+        batch = 32
+        vb = _jnp.tile(v0, (batch, 1)) + _jnp.arange(batch)[:, None] * 1e-5
+        np.asarray(btot(vb))  # compile (excluded)
+        t0 = time.time()
+        reps = 5
+        for i in range(reps):
+            np.asarray(btot(vb + i * 1e-5))
+        rate_b = batch * reps / (time.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "metric": "icecube_3y_batched_templates_per_sec",
+                    "value": round(rate_b, 3),
+                    "unit": "templates/s",
+                    "vs_baseline": round(
+                        rate_b / CPU_BASELINE["icecube_3y"], 2
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# batched bench failed: {exc}", file=sys.stderr)
+
     try:
         rosc = _bench_pipeline("settings/pipeline/osc_example.cfg")
         print(
