@@ -252,7 +252,11 @@ class BasicAnalysis:
     def _get_compiled(self, hypo_maker):
         """Compiled distribution for `hypo_maker`, rebuilt when the free-param
         set or selections change."""
-        from pisa_tpu.analysis.gradient import CompiledDistribution
+        from pisa_tpu.analysis.gradient import (
+            CompiledDetectors,
+            CompiledDistribution,
+        )
+        from pisa_tpu.core.detectors import Detectors
 
         key = (
             id(hypo_maker),
@@ -264,7 +268,10 @@ class BasicAnalysis:
             # strategies reuse the same executable
         )
         if key not in self._compiled_cache:
-            self._compiled_cache[key] = CompiledDistribution(hypo_maker)
+            if isinstance(hypo_maker, Detectors):
+                self._compiled_cache[key] = CompiledDetectors(hypo_maker)
+            else:
+                self._compiled_cache[key] = CompiledDistribution(hypo_maker)
         return self._compiled_cache[key]
 
     def _data_total(self, data_dist):

@@ -26,7 +26,7 @@ from pisa_tpu.core.template import CompiledTemplate
 from pisa_tpu.units import Quantity
 from pisa_tpu.utils import stats
 
-__all__ = ["CompiledDistribution"]
+__all__ = ["CompiledDistribution", "CompiledDetectors"]
 
 
 class CompiledDistribution:
@@ -238,4 +238,121 @@ class CompiledDistribution:
                 jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
             )
 
+        # expose the un-jitted objective for composition (CompiledDetectors)
+        value_fn.raw = objective
+        return value_fn, vg_fn
+
+
+class CompiledDetectors:
+    """Jitted joint objective over several detectors (cf. reference
+    per-detector metric sums, ``analysis.py:2591-2601``): one
+    :class:`CompiledDistribution` per detector, composed into a single
+    differentiable function of the JOINT free-param vector (shared params
+    fan out by indexing; suffixed detector-private params route to their
+    detector)."""
+
+    def __init__(self, detectors):
+        self.hypo_maker = detectors
+        self._cds = [
+            CompiledDistribution(dm) for dm in detectors.distribution_makers
+        ]
+        joint_free = detectors.params.free
+        self.free_names = list(joint_free.names)
+        self._free_params = list(joint_free)
+
+        self.index_maps = []
+        for dm, det_name in zip(
+            detectors.distribution_makers, detectors.det_names
+        ):
+            idxs = []
+            for n in dm.params.free.names:
+                # detector-private name collisions are suffixed in the joint
+                # set; prefer the suffixed slot so a later detector's param
+                # does not alias the first detector's bare-named one
+                if f"{n}_{det_name}" in self.free_names:
+                    idxs.append(self.free_names.index(f"{n}_{det_name}"))
+                elif n in self.free_names:
+                    idxs.append(self.free_names.index(n))
+                else:
+                    raise ValueError(
+                        f"cannot locate {n!r} of detector {det_name!r} in"
+                        " the joint free params"
+                    )
+            self.index_maps.append(np.asarray(idxs, dtype=np.int32))
+
+    def current_rescaled_values(self):
+        return np.asarray(
+            [p._rescaled_value for p in self._free_params], dtype=np.float64
+        )
+
+    def _current_bounds(self):
+        los, his = [], []
+        for p in self._free_params:
+            los.append(float(p.range[0].m_as(p.units)))
+            his.append(float(p.range[1].m_as(p.units)))
+        return np.asarray(los), np.asarray(his)
+
+    def build_objective(self, data_dists, metric, priors=True):
+        """(value_fn, value_and_grad_fn) of the joint rescaled vector.
+        `data_dists` is the per-detector list of MapSets."""
+        if not isinstance(data_dists, (list, tuple)):
+            raise ValueError(
+                "Detectors objectives need a per-detector list of data"
+                " distributions"
+            )
+        maximize = stats.is_metric_to_maximize(metric)
+
+        # per-detector raw objectives WITHOUT priors (joint priors below
+        # avoid double-counting shared params)
+        raws = []
+        for cd, data in zip(self._cds, data_dists):
+            value_fn, _ = cd.build_objective(data, metric, priors=False)
+            raws.append(value_fn.raw)
+
+        free_params = self._free_params
+        index_maps = self.index_maps
+
+        def objective(vec, los, his):
+            total = 0.0
+            for raw, idx in zip(raws, index_maps):
+                total = total + raw(vec[idx], los[idx], his[idx])
+            if priors:
+                penalty = 0.0
+                for i, p in enumerate(free_params):
+                    if p.prior is None:
+                        continue
+                    lo, hi = los[i], his[i]
+                    if p.scales_as_log:
+                        mag = jnp.exp(
+                            vec[i]
+                            * (jnp.log(jnp.abs(hi)) - jnp.log(jnp.abs(lo)))
+                        ) * lo
+                    else:
+                        mag = lo + (hi - lo) * vec[i]
+                    if p.prior.units is not None:
+                        mag = mag * Quantity(1.0, p.units).m_as(
+                            p.prior.units
+                        )
+                    llh = jnp.squeeze(p.prior.llh_jax(mag))
+                    penalty = penalty + llh * (1.0 if maximize else -2.0)
+                # raw objectives are already sign-flipped for minimization
+                total = total + (-penalty if maximize else penalty)
+            return total
+
+        value_jit = jax.jit(objective)
+        vg_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
+
+        def value_fn(vec):
+            los, his = self._current_bounds()
+            return value_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
+        def vg_fn(vec):
+            los, his = self._current_bounds()
+            return vg_jit(
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+            )
+
+        value_fn.raw = objective
         return value_fn, vg_fn

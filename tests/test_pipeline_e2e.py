@@ -121,3 +121,23 @@ class TestExamplePipeline:
         out_ih = p.get_outputs()
         ih_total = float(np.asarray(out_ih["numu_cc"].hist).sum())
         assert nh_total != ih_total
+
+
+class TestKdePipeline:
+    """KDE-smoothed example pipeline (cf. reference test_kde_stage.py)."""
+
+    def test_kde_totals_match_hist(self):
+        import numpy as np
+        from pisa_tpu.core.pipeline import Pipeline
+
+        p_kde = Pipeline("settings/pipeline/kde_example.cfg")
+        out_kde = p_kde.get_outputs()
+        p_hist = Pipeline("settings/pipeline/example.cfg")
+        out_hist = p_hist.get_outputs()
+
+        tot_kde = sum(float(np.asarray(m.hist).sum()) for m in out_kde)
+        tot_hist = sum(float(np.asarray(m.hist).sum()) for m in out_hist)
+        # KDE smooths but approximately conserves the total weight
+        assert np.isclose(tot_kde, tot_hist, rtol=0.25)
+        for m in out_kde:
+            assert np.all(np.asarray(m.hist) >= 0)
