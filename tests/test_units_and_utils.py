@@ -172,3 +172,9 @@ class TestSplineUtils:
             np.abs(smoothed - truth).mean()
             < np.abs(noisy - truth).mean()
         )
+
+
+def test_cross_sections_store():
+    from pisa_tpu.utils.cross_sections import test_CrossSections
+
+    test_CrossSections()
