@@ -219,12 +219,20 @@ class Pipeline:
             stage.run()
         self._run_times.append(time.perf_counter() - t0)
 
-    def get_outputs(self, output_binning=None, output_key=None):
+    def get_outputs(self, output_binning=None, output_key=None,
+                    return_sum=False):
         """Evaluate the template: run all stages, histogram into the output
         binning (cf. reference ``pipeline.py:360-483``).
 
-        Returns a MapSet, or a list of MapSets for VarBinning output.
+        Returns a MapSet, or a list of MapSets for VarBinning output. With
+        `return_sum`, all maps are summed into a single-map MapSet (so a
+        lone Pipeline duck-types the DistributionMaker hypo-maker surface).
         """
+        if return_sum:
+            out = self.get_outputs(output_binning, output_key)
+            if isinstance(out, list):
+                return [MapSet([ms.sum()], name=self.name) for ms in out]
+            return MapSet([out.sum()], name=self.name)
         t0 = time.perf_counter()
         output_binning = output_binning or self._output_binning
         output_key = output_key or self._output_key
@@ -320,6 +328,32 @@ class Pipeline:
             output_binning=output_binning or self._output_binning,
             output_key=output_key or self._output_key,
         )
+
+    # -- fitting interface (same surface as DistributionMaker, so a single
+    # Pipeline can serve as a hypo maker directly) ------------------------------
+    def _set_rescaled_free_params(self, rvalues):
+        free = self.params.free
+        if len(rvalues) != len(free):
+            raise ValueError(
+                f"Got {len(rvalues)} values for {len(free)} free params"
+            )
+        for p, v in zip(free, rvalues):
+            p._rescaled_value = float(v)
+
+    def set_free_params(self, values):
+        free = self.params.free
+        if len(values) != len(free):
+            raise ValueError(
+                f"Got {len(values)} values for {len(free)} free params"
+            )
+        for p, v in zip(free, values):
+            p.value = v
+
+    def reset_free(self):
+        self.params.reset_free()
+
+    def reset_all(self):
+        self.params.reset_all()
 
     # -- profiling -------------------------------------------------------------
     @staticmethod
