@@ -144,3 +144,64 @@ def test_service_smoke(stage_name, service_name):
         if "weights" in c.keys:
             w = np.asarray(c["weights"])
             assert np.all(np.isfinite(w)), f"{stage_name}.{service_name}"
+
+
+# services that support a binned calc_mode (map mode, linked containers)
+MAP_MODE_SERVICES = [
+    ("flux", "barr_simple"),
+    ("flux", "honda_ip"),
+    ("flux", "mceq_barr"),
+    ("flux", "mceq_barr_red"),
+    ("osc", "prob3"),
+    ("osc", "two_nu_osc"),
+    ("osc", "decoherence"),
+    ("osc", "external"),
+    ("absorption", "earth_absorption"),
+]
+
+
+@pytest.mark.parametrize(
+    "stage_name,service_name",
+    MAP_MODE_SERVICES,
+    ids=[f"{c}.{s}:map" for c, s in MAP_MODE_SERVICES],
+)
+def test_service_smoke_map_mode(stage_name, service_name):
+    """Run compute on a binned grid (calc_mode = binning), exercising the
+    container-linking paths (cf. reference test_services' mode matrix)."""
+    module = importlib.import_module(
+        f"pisa_tpu.stages.{stage_name}.{service_name}"
+    )
+    rng = np.random.RandomState(7)
+    service = module.init_test()
+    service.calc_mode = TEST_BINNING
+
+    # map mode needs the full 12-flavor container set for linking
+    containers = []
+    for name in (
+        "nue_cc", "numu_cc", "nutau_cc", "nue_nc", "numu_nc", "nutau_nc",
+        "nuebar_cc", "numubar_cc", "nutaubar_cc", "nuebar_nc", "numubar_nc",
+        "nutaubar_nc",
+    ):
+        c = Container(name, representation=TEST_BINNING)
+        nubar = -1 if "bar" in name else 1
+        flav = {"e": 0, "mu": 1, "tau": 2}[
+            name.replace("bar", "").split("_")[0][2:]
+        ]
+        c.set_aux_data("nubar", nubar)
+        c.set_aux_data("flav", flav)
+        for key in service.expected_container_keys:
+            if key in c or key in TEST_BINNING.names:
+                continue
+            c[key] = _key_value(key, rng, TEST_BINNING.size)
+        if "weights" not in c and "weights" not in TEST_BINNING.names:
+            c["weights"] = _key_value("weights", rng, TEST_BINNING.size)
+        containers.append(c)
+    cs = ContainerSet("test", containers)
+    cs["output_binning"] = TEST_BINNING
+
+    service.data = cs
+    service.setup()
+    service.run()
+    for c in service.data:
+        if "weights" in c.keys:
+            assert np.all(np.isfinite(np.asarray(c["weights"])))
