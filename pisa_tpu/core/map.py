@@ -406,6 +406,26 @@ class Map:
             return maps[0]
         return MapSet(maps, name=self.name)
 
+    def plot(self, ax=None, fname=None, outdir=".", **kwargs):
+        """Quick plot of this map (2-D pcolormesh or 1-D step plot) via
+        :class:`pisa_tpu.utils.plotter.Plotter` (cf. reference
+        ``map.py:573``). Returns the axis (or saved paths with `fname`)."""
+        from pisa_tpu.utils.plotter import Plotter
+
+        plotter = Plotter(outdir=outdir, fmt=kwargs.pop("fmt", "png"),
+                          log=kwargs.pop("log", False))
+        if len(self.binning.names) >= 2:
+            if len(self.binning.names) > 2:
+                raise ValueError("plot 2-D slices of >2-D maps via split()")
+            ax = plotter.plot_2d_map(self, ax=ax, **kwargs)
+        else:
+            ax = plotter.plot_1d_projection(
+                self, self.binning.names[0], ax=ax, **kwargs
+            )
+        if fname is not None:
+            return plotter.dump(fname)
+        return ax
+
     def fluctuate(self, method, random_state=None, jumpahead=0):
         """Pseudo-experiment fluctuation (cf. reference ``map.py:1118``).
 
