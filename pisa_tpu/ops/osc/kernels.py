@@ -201,6 +201,15 @@ def _dms_soa(energy, H, dm_vac):
     Returns [m0, m1, m2] real arrays.
     """
     dm_vac = jnp.asarray(dm_vac)
+    return _dms_soa_scalars(energy, H, dm_vac[0, 0], dm_vac[1, 0], dm_vac[2, 0])
+
+
+def _dms_soa_scalars(energy, H, dm00, dm10, dm20, atan2=jnp.arctan2):
+    """`_dms_soa` with the vacuum mass-splitting column passed as three
+    scalars — the form consumed inside the Pallas chain kernel, where small
+    parameters arrive through SMEM rather than as a (3, 3) array (`atan2`
+    is injectable because Mosaic has no atan2 lowering; the Pallas path
+    substitutes a <2e-9-accurate polynomial)."""
     dtype = H[0][0].re.dtype
 
     # scale-normalize: raw char-poly intermediates underflow fp32 at TeV
@@ -243,12 +252,12 @@ def _dms_soa(energy, H, dm_vac):
     one_over_two_e = 0.5 / energy
     # vacuum analog, scale-normalized the same way
     scale_v = jnp.maximum(
-        jnp.maximum(jnp.abs(dm_vac[1, 0]), jnp.abs(dm_vac[2, 0]))
+        jnp.maximum(jnp.abs(dm10), jnp.abs(dm20))
         * one_over_two_e,
         jnp.asarray(1e-30, dtype=dtype),
     )
-    x = dm_vac[1, 0] * one_over_two_e / scale_v
-    y = dm_vac[2, 0] * one_over_two_e / scale_v
+    x = dm10 * one_over_two_e / scale_v
+    y = dm20 * one_over_two_e / scale_v
 
     c2_v = -(x + y)
 
@@ -264,27 +273,27 @@ def _dms_soa(energy, H, dm_vac):
     )
     tmp_v = jnp.maximum(p_v**3 - q_v**2, 0.0)
 
-    res = jnp.arctan2(jnp.sqrt(tmp), q) / 3.0
-    res_v = jnp.arctan2(jnp.sqrt(tmp_v), q_v) / 3.0
+    res = atan2(jnp.sqrt(tmp), q) / 3.0
+    res_v = atan2(jnp.sqrt(tmp_v), q_v) / 3.0
     a = 2.0 / 3.0 * jnp.pi
     b = 2.0 / 3.0 * jnp.sqrt(p)
     b_v = 2.0 / 3.0 * jnp.sqrt(p_v)
 
     two_e = 2.0 * energy
     m_u = [
-        two_e * (scale * (b * jnp.cos(res + a) - c2 / 3.0) + dm_vac[0, 0]),
-        two_e * (scale * (b * jnp.cos(res - a) - c2 / 3.0) + dm_vac[0, 0]),
-        two_e * (scale * (b * jnp.cos(res) - c2 / 3.0) + dm_vac[0, 0]),
+        two_e * (scale * (b * jnp.cos(res + a) - c2 / 3.0) + dm00),
+        two_e * (scale * (b * jnp.cos(res - a) - c2 / 3.0) + dm00),
+        two_e * (scale * (b * jnp.cos(res) - c2 / 3.0) + dm00),
     ]
     m_v = [
-        two_e * (scale_v * (b_v * jnp.cos(res_v + a) - c2_v / 3.0) + dm_vac[0, 0]),
-        two_e * (scale_v * (b_v * jnp.cos(res_v - a) - c2_v / 3.0) + dm_vac[0, 0]),
-        two_e * (scale_v * (b_v * jnp.cos(res_v) - c2_v / 3.0) + dm_vac[0, 0]),
+        two_e * (scale_v * (b_v * jnp.cos(res_v + a) - c2_v / 3.0) + dm00),
+        two_e * (scale_v * (b_v * jnp.cos(res_v - a) - c2_v / 3.0) + dm00),
+        two_e * (scale_v * (b_v * jnp.cos(res_v) - c2_v / 3.0) + dm00),
     ]
 
     # vacuum-matched ordering: m[i] = m_u[argmin_j |dm_vac[i,0] - m_v[j]|],
     # unrolled branch-free over the 3x3 candidate pairs
-    targets = [dm_vac[0, 0], dm_vac[1, 0], dm_vac[2, 0]]
+    targets = [dm00, dm10, dm20]
     out = []
     for i in range(3):
         d0 = jnp.abs(targets[i] - m_v[0])
@@ -586,6 +595,60 @@ def osc_probs_layers(
     densities = jnp.asarray(densities)
     distances = jnp.asarray(distances)
 
+    if not decay_flag and chain_map is None:
+        mode = _pallas_mode()
+        if mode is not None:
+            from pisa_tpu.ops.osc.pallas_chain import osc_probs_layers_pallas
+
+            return osc_probs_layers_pallas(
+                dm_vac, U, mat_pot, lri_pot, nubar, energy, densities,
+                distances, interpret=(mode == "interpret"),
+            )
+
+    return _osc_probs_xla(
+        dm_vac, U, mat_pot, mat_decay, lri_pot, nubar, energy, densities,
+        distances, decay_flag=decay_flag, chain_map=chain_map,
+    )
+
+
+def _pallas_mode():
+    """Select the Pallas chain-kernel mode from `PISA_TPU_OSC_PALLAS`:
+    'auto' (default; compiled kernel iff the default backend is TPU),
+    '0'/'off' (never), '1'/'on' (TPU-compiled, else interpreter — for
+    CPU-side validation), 'interpret' (always interpreter)."""
+    import os
+
+    mode = os.environ.get("PISA_TPU_OSC_PALLAS", "auto").lower()
+    if mode in ("0", "off", "false", "no"):
+        return None
+    if mode == "interpret":
+        return "interpret"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    if backend == "tpu":
+        return "compiled"
+    if mode in ("1", "on", "true", "yes", "force"):
+        return "interpret"
+    return None
+
+
+def _osc_probs_xla(
+    dm_vac,
+    U,
+    mat_pot,
+    mat_decay,
+    lri_pot,
+    nubar,
+    energy,
+    densities,
+    distances,
+    decay_flag=False,
+    chain_map=None,
+):
+    """XLA (lax.scan) implementation over normalized inputs; also serves as
+    the differentiation path for the Pallas kernel's custom VJP."""
     H_vac = mat_to_C(get_H_vac(smat_view(U), dm_vac))
     if decay_flag:
         H_decay = mat_to_C(

@@ -1,0 +1,500 @@
+"""
+Pallas TPU kernel for the matter-oscillation layer-chain propagation.
+
+This is the speed-of-light implementation of the hot path in
+:func:`pisa_tpu.ops.osc.kernels.osc_probs_layers` (cf. reference
+``pisa/stages/osc/prob3numba/numba_osc_kernels.py:122`` —
+``osc_probs_layers_kernel``): for every grid point / event, build the
+per-layer transition amplitude (matter Hamiltonian -> analytic eigenvalues ->
+Barger et al. eq. 10) and accumulate the ordered chain product, then rotate
+to the flavor basis and take squared magnitudes.
+
+Why Pallas: the XLA formulation materializes dozens of ``(L, 3, 3, N)``
+split-complex intermediates in HBM (~20 GB of traffic per IceCube-3y
+template, measured via XLA cost analysis), because the layer x matrix-entry
+algebra is too branchy for XLA to fuse into one loop. Here the whole
+per-layer algebra lives in registers/VMEM: HBM traffic is exactly the inputs
+(energy, per-layer densities/distances) plus the ``(3, 3)`` probability
+output per point.
+
+The kernel is also *algebraically* restructured relative to the XLA path
+(identical math, fewer operations — the kernel is VPU-issue-bound, not
+bandwidth-bound):
+
+- **everything runs in the mass basis.** The per-layer similarity transform
+  ``U^dagger H U`` of the XLA/reference path disappears: the vacuum term is
+  the diagonal ``diag(0, dm21, dm31)/2E`` by construction, and the matter /
+  LRI terms become *constant* 3x3 matrices ``M_eff = U^dagger M U`` /
+  ``L_eff`` precomputed outside the kernel, so the per-layer Hamiltonian is
+  ``H = diag/2E + a(rho) * M_eff + L_eff`` — ~50 VPU ops instead of two 3x3
+  complex matrix products. Eigenvalues are basis-invariant, and the final
+  rotation to the flavor basis happens once per block, not once per layer.
+  Folding the nubar sign into ``M_eff``/``L_eff`` also makes the kernel
+  itself nubar-independent.
+- **Hermitian triangle storage**: H and H^2 are Hermitian, so only the 3
+  real diagonals + 3 complex upper entries are computed.
+- **Barger amplitude via shared spectral projectors**: eq. 10's three
+  ``(H - m_a)(H - m_b)`` matrix products commute and are Hermitian, so only
+  their triangles are formed, with the cross terms (``H01*H12`` etc.) and
+  off-diagonal norms computed once and shared by all three — ~100 VPU ops
+  instead of three full 3x3 complex matrix products, while keeping the
+  eigenvalue differences subtracted before any multiplication (numerically
+  safe at near-degenerate eigenvalues, unlike an
+  ``alpha_0 I + alpha_1 H + alpha_2 H^2`` expansion).
+- **layer-invariant hoisting**: the vacuum-eigenvalue branch of the
+  vacuum-matched ordering (``get_dms``'s ``m_v`` triple and the argmin
+  selection masks) does not depend on the layer, so it is computed once per
+  block, not once per layer.
+- small physics parameters arrive packed in one SMEM vector; the point
+  batch is laid out 2-D ``(rows, 128)`` with all intermediates as separate
+  ``(BLOCK_ROWS, 128)`` registers — no 3-wide sublane padding anywhere.
+- Mosaic has no atan2/atan lowering, so the eigenvalue formulas use a
+  degree-19 odd minimax polynomial (max error 1.8e-9, below fp32 eps).
+
+Differentiation: ``pallas_call`` has no automatic VJP, so the public entry
+:func:`osc_probs_layers_pallas` wires a ``jax.custom_vjp`` whose backward
+pass differentiates the (mathematically identical) XLA implementation. The
+forward/primal (the minimizer's per-iteration template) runs the Pallas
+kernel; gradient fits pay the XLA path only inside ``jax.grad``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pisa_tpu.ops.cplx import C
+from pisa_tpu.ops.osc.kernels import (
+    HBAR_C_FACTOR,
+    TWO_SQRT2_GF,
+    mat_conj_T,
+    mat_mul,
+)
+
+__all__ = ["osc_probs_layers_pallas", "chain_probs_pallas"]
+
+LANES = 128
+BLOCK_ROWS = 8  # points per grid step = BLOCK_ROWS * LANES
+
+# atan(t)/t on [0, 1] as a degree-9 polynomial in t^2 (Chebyshev-node
+# least-squares fit; max abs error 1.8e-9 < fp32 eps).
+_ATAN_COEFS = (
+    9.999999975460e-01,
+    -3.333328229551e-01,
+    1.999823064038e-01,
+    -1.426157368029e-01,
+    1.094019896514e-01,
+    -8.372063948085e-02,
+    5.746355785006e-02,
+    -3.071750890693e-02,
+    1.068071944801e-02,
+    -1.743701144344e-03,
+)
+
+
+def _atan2_pos(y, x):
+    """atan2(y, x) for y >= 0 (range [0, pi]), branch-free polynomial.
+    Matches the conventions the eigenvalue code relies on, including
+    atan2(0, 0) = 0."""
+    ax = jnp.abs(x)
+    hi = jnp.maximum(y, ax)
+    lo = jnp.minimum(y, ax)
+    t = lo / jnp.maximum(hi, jnp.asarray(1e-37, dtype=y.dtype))
+    t2 = t * t
+    p = jnp.asarray(_ATAN_COEFS[-1], dtype=y.dtype)
+    for c in _ATAN_COEFS[-2::-1]:
+        p = p * t2 + c
+    a = t * p
+    a = jnp.where(y > ax, jnp.pi / 2 - a, a)
+    return jnp.where(x < 0, jnp.pi - a, a)
+
+
+def _chain_kernel(pp_ref, e_ref, dens_ref, dist_ref, out_ref, *, n_layers):
+    """One block of points: full layer-chain propagation in registers.
+
+    Packed params (SMEM): U re/im at 0/9, M_eff re/im at 18/27,
+    L_eff re/im at 36/45, dm_vac[:, 0] at 54..56.
+    """
+
+    def p(k):
+        return pp_ref[0, k]
+
+    U = [
+        [C(p(3 * i + j), p(9 + 3 * i + j)) for j in range(3)]
+        for i in range(3)
+    ]
+    Me = [
+        [C(p(18 + 3 * i + j), p(27 + 3 * i + j)) for j in range(3)]
+        for i in range(3)
+    ]
+    Le = [
+        [C(p(36 + 3 * i + j), p(45 + 3 * i + j)) for j in range(3)]
+        for i in range(3)
+    ]
+    dm00, dm10, dm20 = p(54), p(55), p(56)
+
+    e = e_ref[:]  # (BLOCK_ROWS, LANES)
+    dtype = e.dtype
+    one_over_two_e = 0.5 / e
+    two_e = 2.0 * e
+    phase_s = -(1.0 / e) * HBAR_C_FACTOR  # * baseline, applied per layer
+    tiny = jnp.asarray(1e-30, dtype=dtype)
+    third = 1.0 / 3.0
+    ang = 2.0 / 3.0 * jnp.pi
+
+    zeros = jnp.zeros_like(e)
+    ones = jnp.ones_like(e)
+
+    # ---- layer-invariant: vacuum eigenvalues + vacuum-matched ordering ----
+    # (cf. kernels._dms_soa_scalars vacuum branch / numba_osc_kernels.py:688)
+    scale_v = jnp.maximum(
+        jnp.maximum(jnp.abs(dm10), jnp.abs(dm20)) * one_over_two_e, tiny
+    )
+    x = dm10 * one_over_two_e / scale_v
+    y = dm20 * one_over_two_e / scale_v
+    c2_v = -(x + y)
+    p_v = x * x + y * y - x * y
+    q_v = (x + y) * ((x + y) ** 2 - 4.5 * x * y)
+    tmp_v = jnp.maximum(p_v * p_v * p_v - q_v * q_v, 0.0)
+    res_v = _atan2_pos(jnp.sqrt(tmp_v), q_v) * third
+    b_v = (2.0 * third) * jnp.sqrt(p_v)
+    m_v = [
+        two_e * (scale_v * (b_v * jnp.cos(res_v + ang) - c2_v * third) + dm00),
+        two_e * (scale_v * (b_v * jnp.cos(res_v - ang) - c2_v * third) + dm00),
+        two_e * (scale_v * (b_v * jnp.cos(res_v) - c2_v * third) + dm00),
+    ]
+    # selection masks: m[i] = m_u[argmin_j |dm_vac[i,0] - m_v[j]|]
+    picks = []
+    for target in (dm00, dm10, dm20):
+        d0 = jnp.abs(target - m_v[0])
+        d1 = jnp.abs(target - m_v[1])
+        d2 = jnp.abs(target - m_v[2])
+        picks.append((d1 < d0, d2 < jnp.minimum(d0, d1)))
+
+    def flat(m):
+        return tuple(m[i][j].re for i in range(3) for j in range(3)) + tuple(
+            m[i][j].im for i in range(3) for j in range(3)
+        )
+
+    def unflat(t):
+        return [
+            [C(t[3 * i + j], t[9 + 3 * i + j]) for j in range(3)]
+            for i in range(3)
+        ]
+
+    def body(layer, carry):
+        P = unflat(carry)
+        rho = dens_ref[layer]
+        dx = dist_ref[layer]
+        a = (0.5 * TWO_SQRT2_GF) * rho
+
+        # mass-basis Hamiltonian, Hermitian triangle:
+        # H = diag(0, dm21, dm31)/2E + a*M_eff + L_eff
+        def offd(i, j):
+            return C(
+                Me[i][j].re * a + Le[i][j].re, Me[i][j].im * a + Le[i][j].im
+            )
+
+        h01, h02, h12 = offd(0, 1), offd(0, 2), offd(1, 2)
+        h00 = Me[0][0].re * a + Le[0][0].re
+        h11 = Me[1][1].re * a + Le[1][1].re + dm10 * one_over_two_e
+        h22 = Me[2][2].re * a + Le[2][2].re + dm20 * one_over_two_e
+
+        # ---- eigenvalues: char-poly coefficients (basis-invariant),
+        # scale-normalized on the coefficients (homogeneity) rather than on
+        # the matrix entries (cf. numba_osc_kernels.py:688) ----
+        n01, n02, n12 = h01.abs2(), h02.abs2(), h12.abs2()
+        scale2 = jnp.maximum(
+            jnp.maximum(jnp.maximum(h00 * h00, h11 * h11), h22 * h22),
+            jnp.maximum(jnp.maximum(n01, n02), n12),
+        )
+        scale = jnp.maximum(jnp.sqrt(scale2), tiny)
+        inv_s = 1.0 / scale
+        inv_s2 = inv_s * inv_s
+
+        real_product_a = (
+            h01.re * (h12.re * h02.re + h12.im * h02.im)
+            - h01.im * (h12.im * h02.re - h12.re * h02.im)
+        )  # Re(H01 H12 conj(H02)) = Re(H01 H12 H20)
+        c2 = -(h00 + h11 + h22) * inv_s
+        c1 = (
+            h00 * (h11 + h22) + h11 * h22 - n01 - n02 - n12
+        ) * inv_s2
+        c0 = (
+            (h00 * n12 + h11 * n02 + h22 * n01)
+            - 2.0 * real_product_a
+            - h00 * h11 * h22
+        ) * (inv_s2 * inv_s)
+
+        pp = jnp.maximum(c2 * c2 - 3.0 * c1, 0.0)
+        qq = -13.5 * c0 - c2 * c2 * c2 + 4.5 * c1 * c2
+        tmp = jnp.maximum(
+            27.0 * (0.25 * c1 * c1 * (pp - c1) + c0 * (qq + 6.75 * c0)), 0.0
+        )
+        res = _atan2_pos(jnp.sqrt(tmp), qq) * third
+        b = (2.0 * third) * jnp.sqrt(pp)
+        m_u = [
+            two_e * (scale * (b * jnp.cos(res + ang) - c2 * third) + dm00),
+            two_e * (scale * (b * jnp.cos(res - ang) - c2 * third) + dm00),
+            two_e * (scale * (b * jnp.cos(res) - c2 * third) + dm00),
+        ]
+        m = []
+        for pick1, pick2 in picks:
+            best01 = jnp.where(pick1, m_u[1], m_u[0])
+            m.append(jnp.where(pick2, m_u[2], best01))
+
+        # ---- Barger eq. 10 via spectral projectors over the 2E-scaled
+        # Hamiltonian G: T = sum_k phase_k * (G - m_a)(G - m_b)/denoms.
+        # The two factors commute (polynomials of the same G), so each
+        # product is exactly Hermitian, and the eigenvalue differences are
+        # subtracted BEFORE any multiplication -- unlike the equivalent
+        # alpha0 I + alpha1 G + alpha2 G^2 expansion, which loses ~1e-4 of
+        # precision to G^2 cancellation at near-degenerate eigenvalues ----
+        g00, g11, g22 = h00 * two_e, h11 * two_e, h22 * two_e
+        g01 = C(h01.re * two_e, h01.im * two_e)
+        g02 = C(h02.re * two_e, h02.im * two_e)
+        g12 = C(h12.re * two_e, h12.im * two_e)
+
+        # cross terms and norms shared by all three projector products
+        n01g, n02g, n12g = g01.abs2(), g02.abs2(), g12.abs2()
+        x01 = g02 * g12.conj()
+        x02 = g01 * g12
+        x12 = g01.conj() * g02
+
+        def projector(ma, mb):
+            """(G - ma)(G - mb), Hermitian triangle (d0,d1,d2,o01,o02,o12)."""
+            a00, a11, a22 = g00 - ma, g11 - ma, g22 - ma
+            b00, b11, b22 = g00 - mb, g11 - mb, g22 - mb
+            return (
+                a00 * b00 + n01g + n02g,
+                a11 * b11 + n01g + n12g,
+                a22 * b22 + n02g + n12g,
+                C(g01.re * (a00 + b11), g01.im * (a00 + b11)) + x01,
+                C(g02.re * (a00 + b22), g02.im * (a00 + b22)) + x02,
+                C(g12.re * (a11 + b22), g12.im * (a11 + b22)) + x12,
+            )
+
+        Pr0 = projector(m[1], m[2])
+        Pr1 = projector(m[0], m[2])
+        Pr2 = projector(m[0], m[1])
+
+        d01 = m[0] - m[1]
+        d02 = m[0] - m[2]
+        d12 = m[1] - m[2]
+        inv0 = 1.0 / (d01 * d02)
+        inv1 = 1.0 / (d12 * (-d01))
+        inv2 = 1.0 / ((-d02) * (-d12))
+
+        s = phase_s * dx
+
+        def cphase(k, inv):
+            ar = m[k] * s
+            return C(jnp.cos(ar) * inv, jnp.sin(ar) * inv)
+
+        cp0, cp1, cp2 = cphase(0, inv0), cphase(1, inv1), cphase(2, inv2)
+
+        def tsum(idx, conjugate=False):
+            a, b, c = Pr0[idx], Pr1[idx], Pr2[idx]
+            if conjugate:
+                a, b, c = (
+                    a.conj() if isinstance(a, C) else a,
+                    b.conj() if isinstance(b, C) else b,
+                    c.conj() if isinstance(c, C) else c,
+                )
+            return cp0 * a + cp1 * b + cp2 * c
+
+        T = [
+            [tsum(0), tsum(3), tsum(4)],
+            [tsum(3, True), tsum(1), tsum(5)],
+            [tsum(4, True), tsum(5, True), tsum(2)],
+        ]
+
+        # chain product P <- T @ P; zero-length layers act as identity
+        keep = dx > 0.0
+        TP = mat_mul(T, P)
+        newP = [
+            [
+                C(
+                    jnp.where(keep, TP[i][j].re, P[i][j].re),
+                    jnp.where(keep, TP[i][j].im, P[i][j].im),
+                )
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        return flat(newP)
+
+    eye = [
+        [C(ones, zeros) if i == j else C(zeros, zeros) for j in range(3)]
+        for i in range(3)
+    ]
+    carry = jax.lax.fori_loop(0, n_layers, body, flat(eye))
+    P = unflat(carry)
+
+    # flavor basis: U P U^dagger; probs[n, a, b] = |F[b][a]|^2
+    F = mat_mul(mat_mul(U, P), mat_conj_T(U))
+    for a in range(3):
+        for b in range(3):
+            out_ref[a, b] = F[b][a].abs2()
+
+
+def _pack_params(U, M_eff, L_eff, dm_vac, dtype):
+    """(1, 57) parameter vector: U(re,im) | M_eff(re,im) | L_eff(re,im) |
+    dm_vac[:, 0]."""
+    parts = [
+        U.re.reshape(-1),
+        U.im.reshape(-1),
+        M_eff.re.reshape(-1),
+        M_eff.im.reshape(-1),
+        L_eff.re.reshape(-1),
+        L_eff.im.reshape(-1),
+        jnp.asarray(dm_vac)[:, 0].reshape(-1),
+    ]
+    return jnp.concatenate(
+        [jnp.asarray(x, dtype=dtype).reshape(-1) for x in parts]
+    ).reshape(1, -1)
+
+
+def chain_probs_pallas(
+    pvec, energy, densities, distances, *, interpret=False
+):
+    """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
+    (N, L). Returns probs (N, 3, 3)."""
+    dtype = energy.dtype
+    n = energy.shape[0]
+    n_layers = densities.shape[1]
+    block = BLOCK_ROWS * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    e2 = jnp.concatenate(
+        [energy, jnp.ones((n_pad - n,), dtype=dtype)]
+    ).reshape(rows, LANES)
+    pad2 = ((0, n_pad - n), (0, 0))
+    dens = (
+        jnp.pad(densities, pad2).reshape(rows, LANES, n_layers)
+        .transpose(2, 0, 1)
+    )
+    dist = (
+        jnp.pad(distances, pad2).reshape(rows, LANES, n_layers)
+        .transpose(2, 0, 1)
+    )
+
+    grid = rows // BLOCK_ROWS
+    out = pl.pallas_call(
+        partial(_chain_kernel, n_layers=n_layers),
+        out_shape=jax.ShapeDtypeStruct((3, 3, rows, LANES), dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 3, BLOCK_ROWS, LANES), lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(pvec, e2, dens, dist)
+
+    # (3, 3, rows, LANES) -> (N, 3, 3)
+    return out.reshape(3, 3, n_pad).transpose(2, 0, 1)[:n]
+
+
+def _probs_pallas_impl(
+    dm_vac, U, mat_pot, lri_pot, energy, densities, distances, *, nubar,
+    interpret=False,
+):
+    from pisa_tpu.ops.osc.kernels import mat_of, mat_to_C, smat_view
+
+    sign = 1.0 if nubar > 0 else -1.0
+    Um = smat_view(U)
+    # flavor-basis matter potential per unit a: mat_pot (nu) or
+    # -conj(mat_pot) (nubar), rotated to the mass basis
+    mp = mat_of(mat_pot)
+    if nubar > 0:
+        mp_eff = mp
+    else:
+        mp_eff = [[C(-mp[i][j].re, mp[i][j].im) for j in range(3)]
+                  for i in range(3)]
+    M_eff = mat_to_C(mat_mul(mat_mul(mat_conj_T(Um), mp_eff), Um))
+    # constant LRI term (real, flavor basis) rotated likewise
+    lri = jnp.asarray(lri_pot)
+    Lm = [[C((sign * 1e9) * lri[i, j], jnp.zeros_like(lri[i, j]))
+           for j in range(3)] for i in range(3)]
+    L_eff = mat_to_C(mat_mul(mat_mul(mat_conj_T(Um), Lm), Um))
+
+    pvec = _pack_params(U, M_eff, L_eff, dm_vac, energy.dtype)
+    return chain_probs_pallas(
+        pvec, energy, densities, distances, interpret=interpret
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _probs_pallas_vjp(
+    nubar, interpret, dm_vac, U, mat_pot, lri_pot, energy, densities,
+    distances,
+):
+    return _probs_pallas_impl(
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+        nubar=nubar, interpret=interpret,
+    )
+
+
+def _vjp_fwd(
+    nubar, interpret, dm_vac, U, mat_pot, lri_pot, energy, densities,
+    distances,
+):
+    out = _probs_pallas_impl(
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+        nubar=nubar, interpret=interpret,
+    )
+    return out, (dm_vac, U, mat_pot, lri_pot, energy, densities, distances)
+
+
+def _vjp_bwd(nubar, interpret, res, g):
+    # backward through the mathematically-identical XLA implementation
+    from pisa_tpu.ops.osc.kernels import _osc_probs_xla
+
+    dm_vac, U, mat_pot, lri_pot, energy, densities, distances = res
+    _, vjp = jax.vjp(
+        lambda dm, u, mp, lri, e, dn, dx: _osc_probs_xla(
+            dm, u, mp, None, lri, nubar, e, dn, dx,
+            decay_flag=False, chain_map=None,
+        ),
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+    )
+    return vjp(g)
+
+
+_probs_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def osc_probs_layers_pallas(
+    dm_vac, U, mat_pot, lri_pot, nubar, energy, densities, distances,
+    interpret=False,
+):
+    """Pallas-accelerated standard-path propagation (no decay, no
+    chain-dedup). `U` is the already-conjugated (for nubar) PMNS C(3,3);
+    differentiable w.r.t. (dm_vac, U, mat_pot, lri_pot) via the XLA VJP."""
+    return _probs_pallas_vjp(
+        int(nubar), bool(interpret), jnp.asarray(dm_vac), U, mat_pot,
+        jnp.asarray(lri_pot), jnp.asarray(energy), jnp.asarray(densities),
+        jnp.asarray(distances),
+    )

@@ -1,0 +1,155 @@
+"""
+Pallas layer-chain kernel vs the XLA oscillation path.
+
+The compiled kernel runs only on TPU; these tests exercise the identical
+kernel body through the Pallas interpreter on CPU, so the algebraic
+restructuring (mass basis, Hermitian triangles, shared spectral projectors,
+polynomial atan2) is validated against the XLA implementation that the
+golden-pickle suite (tests/test_osc_golden.py) anchors to the reference
+(cf. /root/reference/pisa/stages/osc/prob3numba/numba_osc_kernels.py:122).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pisa_tpu.ops.cplx import C
+from pisa_tpu.ops.osc.kernels import osc_probs_layers
+from pisa_tpu.ops.osc.pallas_chain import (
+    _atan2_pos,
+    osc_probs_layers_pallas,
+)
+from pisa_tpu.ops.osc.pmns import dm_matrix, pmns_matrix
+
+
+def _setup(n=96, n_layers=5, seed=7):
+    # the suite runs under x64 (conftest), so this validates the kernel
+    # algebra in fp64; on TPU the same code runs in fp32 (x64 off)
+    rng = np.random.RandomState(seed)
+    e = np.asarray(10 ** rng.uniform(0, 2, n), dtype=np.float64)
+    dens = np.asarray(rng.uniform(1, 12, (n, n_layers)), dtype=np.float64)
+    dist = np.asarray(
+        rng.uniform(50, 1000, (n, n_layers)), dtype=np.float64
+    )
+    dist[:, -1] = 0.0  # padding slot
+    mix = pmns_matrix(
+        jnp.sin(0.58), jnp.sin(0.15), jnp.sin(0.78), 1.2
+    )
+    dm = dm_matrix(7.4e-5, 2.5e-3)
+    mat_pot = C.of(np.diag([1.0, 0.0, 0.0]).astype(np.complex128))
+    mat_decay = C.of(np.zeros((3, 3), np.complex128))
+    lri = np.zeros((3, 3), np.float64)
+    return e, dens, dist, mix, dm, mat_pot, mat_decay, lri
+
+
+@pytest.mark.parametrize("nubar", [1, -1])
+def test_matches_xla_path(nubar):
+    e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup()
+    ref = np.asarray(
+        osc_probs_layers(
+            dm, mix, mat_pot, mat_decay, lri, nubar, e, dens, dist
+        )
+    )
+    U = mix if nubar > 0 else mix.conj()
+    out = np.asarray(
+        osc_probs_layers_pallas(
+            dm, U, mat_pot, lri, nubar,
+            jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist),
+            interpret=True,
+        )
+    )
+    assert out.shape == ref.shape == (e.size, 3, 3)
+    # identical math, different association order: fp32 chain-product level
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # rows are probability distributions
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=2e-5)
+
+
+def test_nsi_matter_potential():
+    """Generalized (NSI) matter potentials exercise the full complex
+    M_eff path (off-diagonal, non-real entries)."""
+    e, dens, dist, mix, dm, _, mat_decay, lri = _setup(seed=11)
+    eps = np.array(
+        [
+            [1.0 + 0.0j, 0.04 + 0.01j, 0.003 - 0.02j],
+            [0.04 - 0.01j, 0.02, 0.011 + 0.005j],
+            [0.003 + 0.02j, 0.011 - 0.005j, -0.01],
+        ],
+        dtype=np.complex64,
+    )
+    mat_pot = C.of(eps)
+    ref = np.asarray(
+        osc_probs_layers(dm, mix, mat_pot, mat_decay, lri, -1, e, dens, dist)
+    )
+    out = np.asarray(
+        osc_probs_layers_pallas(
+            dm, mix.conj(), mat_pot, lri, -1,
+            jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_gradient_flows_through_custom_vjp():
+    """d(sum probs)/d(dm31) via the Pallas custom_vjp must match the XLA
+    gradient (the backward pass IS the XLA path; this checks the wiring)."""
+    e, dens, dist, mix, _, mat_pot, mat_decay, lri = _setup(n=32, n_layers=3)
+    ej, dnj, dxj = jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist)
+
+    def loss_pallas(dm31):
+        dm = dm_matrix(7.4e-5, dm31)
+        probs = osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1, ej, dnj, dxj, interpret=True
+        )
+        return jnp.sum(probs[:, 1, 1])
+
+    def loss_xla(dm31):
+        dm = dm_matrix(7.4e-5, dm31)
+        probs = osc_probs_layers(
+            dm, mix, mat_pot, mat_decay, lri, 1, ej, dnj, dxj
+        )
+        return jnp.sum(probs[:, 1, 1])
+
+    g_pal = float(jax.grad(loss_pallas)(jnp.float32(2.5e-3)))
+    g_xla = float(jax.grad(loss_xla)(jnp.float32(2.5e-3)))
+    assert np.isfinite(g_pal)
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-4)
+
+
+def test_atan2_polynomial_accuracy():
+    rng = np.random.RandomState(3)
+    y = np.abs(rng.standard_normal(4096)).astype(np.float32)
+    x = rng.standard_normal(4096).astype(np.float32)
+    got = np.asarray(_atan2_pos(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    np.testing.assert_allclose(got, want, atol=5e-7)
+    # conventions at the degenerate points
+    z = jnp.zeros((4,), jnp.float32)
+    assert float(_atan2_pos(z, z)[0]) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(_atan2_pos(z, -jnp.ones((4,), jnp.float32))), np.pi,
+        rtol=1e-6,
+    )
+
+
+def test_odd_sizes_padding():
+    """N not a multiple of the 1024-point block must pad transparently."""
+    e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(n=96)
+    full = np.asarray(
+        osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1,
+            jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist),
+            interpret=True,
+        )
+    )
+    part = np.asarray(
+        osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1,
+            jnp.asarray(e[:77]), jnp.asarray(dens[:77]),
+            jnp.asarray(dist[:77]), interpret=True,
+        )
+    )
+    np.testing.assert_allclose(part, full[:77], atol=1e-6)
