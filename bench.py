@@ -52,9 +52,14 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     # backend's block_until_ready does not actually synchronize; only host
     # transfers do), and matches the fit-loop access pattern
     fn = ct._build_fn()
-    tot_fn = jax.jit(lambda v: sum(jnp.sum(h) for h in fn(v)["hist"].values()))
+    tot_fn = jax.jit(
+        lambda v, data: sum(
+            jnp.sum(h) for h in fn(v, data=data)["hist"].values()
+        )
+    )
+    data = ct._data_vals
 
-    float(tot_fn(v0))  # compile (excluded)
+    float(tot_fn(v0, data))  # compile (excluded)
     t_compiled = time.time()
 
     rng = np.random.RandomState(0)
@@ -62,7 +67,7 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
 
     t0 = time.time()
     for v in vecs:
-        float(tot_fn(v))  # materialize the scalar -> full synchronization
+        float(tot_fn(v, data))  # materialize the scalar -> synchronization
     t1 = time.time()
     per_template = (t1 - t0) / n_templates
     return {
@@ -106,18 +111,18 @@ def main():
         ct = p.compile()
         fn = ct._build_fn()
         lo, hi = map(_jnp.asarray, ct._current_bounds())
-        tot = lambda v: sum(  # noqa: E731
-            _jnp.sum(h) for h in fn(v, lo, hi)["hist"].values()
+        tot = lambda v, data: sum(  # noqa: E731
+            _jnp.sum(h) for h in fn(v, lo, hi, data)["hist"].values()
         )
-        btot = _jax.jit(_jax.vmap(tot))
+        btot = _jax.jit(_jax.vmap(tot, in_axes=(0, None)))
         v0 = _jnp.asarray(ct.current_rescaled_values())
         batch = 32
         vb = _jnp.tile(v0, (batch, 1)) + _jnp.arange(batch)[:, None] * 1e-5
-        np.asarray(btot(vb))  # compile (excluded)
+        np.asarray(btot(vb, ct._data_vals))  # compile (excluded)
         t0 = time.time()
         reps = 5
         for i in range(reps):
-            np.asarray(btot(vb + i * 1e-5))
+            np.asarray(btot(vb + i * 1e-5, ct._data_vals))
         rate_b = batch * reps / (time.time() - t0)
         print(
             json.dumps(

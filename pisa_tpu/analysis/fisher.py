@@ -31,8 +31,8 @@ def _template_jacobian(compiled_template, rescaled_vec=None):
     """(total template (B,), jacobian (B, n_params)) in rescaled space."""
     fn = compiled_template._build_fn()
 
-    def total_hist(vec):
-        out = fn(vec)
+    def total_hist(vec, data):
+        out = fn(vec, data=data)
         return jnp.concatenate(
             [jnp.ravel(h) for _, h in sorted(out["hist"].items())]
         )
@@ -40,8 +40,9 @@ def _template_jacobian(compiled_template, rescaled_vec=None):
     if rescaled_vec is None:
         rescaled_vec = compiled_template.current_rescaled_values()
     vec = jnp.asarray(rescaled_vec)
-    mu = jax.jit(total_hist)(vec)
-    jac = jax.jit(jax.jacfwd(total_hist))(vec)
+    data = compiled_template._data_vals
+    mu = jax.jit(total_hist)(vec, data)
+    jac = jax.jit(jax.jacfwd(total_hist))(vec, data)
     return np.asarray(mu), np.asarray(jac)
 
 

@@ -79,9 +79,9 @@ class CompiledDistribution:
         templates = self.templates
         index_maps = self.index_maps
 
-        def fn(vec, los=None, his=None):
+        def fn(vec, los=None, his=None, datas=None):
             total = None
-            for ct, idx in zip(templates, index_maps):
+            for i, (ct, idx) in enumerate(zip(templates, index_maps)):
                 if len(idx):
                     sub = vec[idx]
                     sub_lo = None if los is None else los[idx]
@@ -89,7 +89,8 @@ class CompiledDistribution:
                 else:
                     sub = jnp.zeros((0,), vec.dtype)
                     sub_lo = sub_hi = None
-                out = ct._build_fn()(sub, sub_lo, sub_hi)
+                data = None if datas is None else datas[i]
+                out = ct._build_fn()(sub, sub_lo, sub_hi, data)
                 s = None
                 for h in out["hist"].values():
                     s = h if s is None else s + h
@@ -97,6 +98,11 @@ class CompiledDistribution:
             return total
 
         return fn
+
+    def _all_data_vals(self):
+        """Per-template container-data argument lists (see
+        CompiledTemplate._place_container_data)."""
+        return [ct._data_vals for ct in self.templates]
 
     def current_rescaled_values(self):
         return np.asarray(
@@ -113,7 +119,8 @@ class CompiledDistribution:
         los, his = self._current_bounds()
         return np.asarray(
             self._sum_jitted(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                self._all_data_vals(),
             )
         )
 
@@ -185,8 +192,8 @@ class CompiledDistribution:
             "signed_sqrt_mod_chi2",
         )
 
-        def objective(vec, los, his):
-            exp = sum_fn(vec, los, his)
+        def objective(vec, los, his, datas=None):
+            exp = sum_fn(vec, los, his, datas)
             if uses_variance:
                 v = data_var if data_var is not None else jnp.zeros_like(exp)
                 vals = metric_fn(data, exp, v)
@@ -229,13 +236,15 @@ class CompiledDistribution:
         def value_fn(vec):
             los, his = self._current_bounds()
             return value_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                self._all_data_vals(),
             )
 
         def vg_fn(vec):
             los, his = self._current_bounds()
             return vg_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                self._all_data_vals(),
             )
 
         # expose the un-jitted objective for composition (CompiledDetectors)
@@ -312,10 +321,11 @@ class CompiledDetectors:
         free_params = self._free_params
         index_maps = self.index_maps
 
-        def objective(vec, los, his):
+        def objective(vec, los, his, datass=None):
             total = 0.0
-            for raw, idx in zip(raws, index_maps):
-                total = total + raw(vec[idx], los[idx], his[idx])
+            for d, (raw, idx) in enumerate(zip(raws, index_maps)):
+                datas = None if datass is None else datass[d]
+                total = total + raw(vec[idx], los[idx], his[idx], datas)
             if priors:
                 penalty = 0.0
                 for i, p in enumerate(free_params):
@@ -342,16 +352,21 @@ class CompiledDetectors:
         value_jit = jax.jit(objective)
         vg_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
 
+        def _datass(self=self):
+            return [cd._all_data_vals() for cd in self._cds]
+
         def value_fn(vec):
             los, his = self._current_bounds()
             return value_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                _datass(),
             )
 
         def vg_fn(vec):
             los, his = self._current_bounds()
             return vg_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                _datass(),
             )
 
         value_fn.raw = objective

@@ -103,8 +103,33 @@ class CompiledTemplate:
             self._rescale.append((float(lo), float(hi), bool(p.scales_as_log)))
         self.names = list(pipeline.data.names) if pipeline.data.names else None
 
+        self._place_container_data()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
+
+    def _place_container_data(self):
+        """device_put every container array once (bulk host->device copies)
+        and record the (container, key, rep) slots so the arrays can be fed
+        to the traced function as explicit *arguments* rather than closure
+        constants. Embedded numpy constants are uploaded piecemeal inside
+        the first execution of every distinct compiled program — measured at
+        ~94 s for the IceCube-3y template's ~90 MB of per-event arrays
+        through the remote-TPU tunnel, repaid again by every objective /
+        batched / gradient variant (and read *back* during lowering when
+        left as closed-over device buffers). As arguments they upload once,
+        here, and never cross the wire again."""
+        self._data_slots = []
+        self._data_vals = []
+        for container in self.pipeline.data.containers:
+            for key, per_rep in container._data.items():
+                for h, arr in per_rep.items():
+                    if isinstance(arr, jax.Array) or (
+                        isinstance(arr, np.ndarray) and arr.dtype != object
+                    ):
+                        placed = jax.device_put(arr)
+                        per_rep[h] = placed
+                        self._data_slots.append((container, key, h))
+                        self._data_vals.append(placed)
 
     # -- trace construction ----------------------------------------------------
     def _current_bounds(self):
@@ -155,13 +180,18 @@ class CompiledTemplate:
     def _build_fn(self):
         pipeline = self.pipeline
 
-        def fn(vec, los=None, his=None):
+        def fn(vec, los=None, his=None, data=None):
             mags = self._magnitudes_from_rescaled(vec, los, his)
             snapshot = self._snapshot()
             saved_values = [p._value for p in self._free_params]
             for stage in pipeline.stages:
                 stage._trace_mode = True
             try:
+                if data is not None:
+                    # container data arrives as traced arguments; install
+                    # into the (snapshotted) containers for the stage run
+                    for (c, key, h), arr in zip(self._data_slots, data):
+                        c._data[key][h] = arr
                 for p, mag in zip(self._free_params, mags):
                     p._value = Quantity(mag, p.units)
                 for stage in pipeline.stages:
@@ -207,6 +237,9 @@ class CompiledTemplate:
         from pisa_tpu.parallel import shard_containers
 
         shard_containers(self.pipeline.data, mesh, axis_name=axis_name)
+        # refresh the data-argument slots with the sharded placements (jit
+        # picks the partitioning up from the argument shardings)
+        self._place_container_data()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
         return self
@@ -216,7 +249,8 @@ class CompiledTemplate:
         """Raw evaluation: dict with 'hist' (and 'error') name->flat array."""
         los, his = self._current_bounds()
         return self._jitted(
-            jnp.asarray(rescaled_vector), jnp.asarray(los), jnp.asarray(his)
+            jnp.asarray(rescaled_vector), jnp.asarray(los), jnp.asarray(his),
+            self._data_vals,
         )
 
     def current_rescaled_values(self):
@@ -282,8 +316,8 @@ class CompiledTemplate:
             total_data = sum(np.asarray(v) for v in data.values())
             k_max = max(1, int(np.ceil(np.max(total_data))))
 
-        def objective(vec, los=None, his=None):
-            out = base_fn(vec, los, his)
+        def objective(vec, los=None, his=None, cdata=None):
+            out = base_fn(vec, los, his, cdata)
             hists = out["hist"]
             if generalized:
                 # per-source stacked mixture inputs (cf. reference
@@ -335,13 +369,19 @@ class CompiledTemplate:
         def value_only(vec):
             los, his = self._current_bounds()
             return value_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                self._data_vals,
             )
 
         def value_and_grad(vec):
             los, his = self._current_bounds()
             return vg_jit(
-                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his)
+                jnp.asarray(vec), jnp.asarray(los), jnp.asarray(his),
+                self._data_vals,
             )
 
+        # expose the un-jitted objective (vec, los, his, data) for
+        # composition (vmapped/batched objectives keep data a non-mapped
+        # argument instead of re-embedding it as constants)
+        value_only.raw = objective
         return value_only, value_and_grad

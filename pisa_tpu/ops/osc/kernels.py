@@ -554,6 +554,7 @@ def osc_probs_layers(
     distances,
     decay_flag=False,
     chain_map=None,
+    chain_order=None,
 ):
     """Oscillation probabilities through a chain of matter layers, batched
     over points (cf. ``osc_probs_layers_kernel``, ``numba_osc_kernels.py:122``).
@@ -603,6 +604,7 @@ def osc_probs_layers(
             return osc_probs_layers_pallas(
                 dm_vac, U, mat_pot, lri_pot, nubar, energy, densities,
                 distances, interpret=(mode == "interpret"),
+                order=chain_order,
             )
 
     return _osc_probs_xla(

@@ -115,12 +115,18 @@ def _atan2_pos(y, x):
     return jnp.where(x < 0, jnp.pi - a, a)
 
 
-def _chain_kernel(pp_ref, e_ref, dens_ref, dist_ref, out_ref, *, n_layers):
+def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
+                  n_layers):
     """One block of points: full layer-chain propagation in registers.
 
     Packed params (SMEM): U re/im at 0/9, M_eff re/im at 18/27,
-    L_eff re/im at 36/45, dm_vac[:, 0] at 54..56.
-    """
+    L_eff re/im at 36/45, dm_vac[:, 0] at 54..56. ``nl_ref`` (SMEM) holds
+    this block's layer-loop bound: the longest chain among the block's
+    points (most Earth chains are far shorter than the padded `n_layers` —
+    2 slots for the downgoing sky vs ~24 through the core — so a dynamic
+    per-block bound skips most of the padding; cf. the reference's
+    in-kernel layer cache, ``numba_osc_kernels.py:224-271``, which attacks
+    the same redundancy point-by-point)."""
 
     def p(k):
         return pp_ref[0, k]
@@ -334,7 +340,9 @@ def _chain_kernel(pp_ref, e_ref, dens_ref, dist_ref, out_ref, *, n_layers):
         [C(ones, zeros) if i == j else C(zeros, zeros) for j in range(3)]
         for i in range(3)
     ]
-    carry = jax.lax.fori_loop(0, n_layers, body, flat(eye))
+    carry = jax.lax.fori_loop(
+        0, nl_ref[pl.program_id(0), 0], body, flat(eye)
+    )
     P = unflat(carry)
 
     # flavor basis: U P U^dagger; probs[n, a, b] = |F[b][a]|^2
@@ -365,7 +373,12 @@ def chain_probs_pallas(
     pvec, energy, densities, distances, *, interpret=False
 ):
     """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
-    (N, L). Returns probs (N, 3, 3)."""
+    (N, L). Returns probs (N, 3, 3).
+
+    Each block's layer loop runs only to the longest chain in the block
+    (trailing zero-length slots are skipped entirely); callers that sort
+    points by chain length first (see ``osc_probs_layers_pallas(order=)``)
+    turn that into a ~mean-chain-length trip count."""
     dtype = energy.dtype
     n = energy.shape[0]
     n_layers = densities.shape[1]
@@ -386,13 +399,30 @@ def chain_probs_pallas(
         .transpose(2, 0, 1)
     )
 
+    # per-block loop bound: 1 + index of the last nonzero-length layer over
+    # the block's points (0 for all-padding blocks -> identity chain)
+    mask = distances > 0.0
+    nl = jnp.where(
+        mask.any(axis=1),
+        n_layers - jnp.argmax(mask[:, ::-1], axis=1),
+        0,
+    ).astype(jnp.int32)
     grid = rows // BLOCK_ROWS
+    nl_blocks = (
+        jnp.pad(nl, (0, n_pad - n)).reshape(grid, block).max(axis=1)
+    ).reshape(grid, 1)
+
     out = pl.pallas_call(
         partial(_chain_kernel, n_layers=n_layers),
         out_shape=jax.ShapeDtypeStruct((3, 3, rows, LANES), dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # whole bounds vector in SMEM (Mosaic requires SMEM blocks to
+            # cover full array dims); the kernel indexes by program_id
+            pl.BlockSpec(
+                (grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (BLOCK_ROWS, LANES), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
@@ -411,7 +441,7 @@ def chain_probs_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(pvec, e2, dens, dist)
+    )(pvec, nl_blocks, e2, dens, dist)
 
     # (3, 3, rows, LANES) -> (N, 3, 3)
     return out.reshape(3, 3, n_pad).transpose(2, 0, 1)[:n]
@@ -488,13 +518,32 @@ _probs_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 def osc_probs_layers_pallas(
     dm_vac, U, mat_pot, lri_pot, nubar, energy, densities, distances,
-    interpret=False,
+    interpret=False, order=None,
 ):
     """Pallas-accelerated standard-path propagation (no decay, no
     chain-dedup). `U` is the already-conjugated (for nubar) PMNS C(3,3);
-    differentiable w.r.t. (dm_vac, U, mat_pot, lri_pot) via the XLA VJP."""
+    differentiable w.r.t. (dm_vac, U, mat_pot, lri_pot) via the XLA VJP.
+
+    `order` (optional int array, a permutation of arange(N)): evaluate the
+    points in this order — callers pass an argsort by chain length so each
+    (8, 128) kernel block holds similar-length chains and the per-block
+    dynamic layer bound bites (see :func:`chain_probs_pallas`). The
+    permutation is applied/inverted outside the custom_vjp, so gradients
+    flow through the gathers normally."""
+    energy = jnp.asarray(energy)
+    densities = jnp.asarray(densities)
+    distances = jnp.asarray(distances)
+    if order is not None:
+        inv = np.argsort(order) if isinstance(order, np.ndarray) else (
+            jnp.argsort(order)
+        )
+        probs = _probs_pallas_vjp(
+            int(nubar), bool(interpret), jnp.asarray(dm_vac), U, mat_pot,
+            jnp.asarray(lri_pot), energy[order], densities[order],
+            distances[order],
+        )
+        return probs[inv]
     return _probs_pallas_vjp(
         int(nubar), bool(interpret), jnp.asarray(dm_vac), U, mat_pot,
-        jnp.asarray(lri_pot), jnp.asarray(energy), jnp.asarray(densities),
-        jnp.asarray(distances),
+        jnp.asarray(lri_pot), energy, densities, distances,
     )

@@ -80,14 +80,28 @@ def build_batched_objective(
     value_only, _ = compiled_template.build_objective(
         data_dist, metric, priors=priors
     )
-    # un-jit to avoid nested dispatch; build_objective returns jitted fns
-    fn = value_only.__wrapped__ if hasattr(value_only, "__wrapped__") else value_only
+    # raw (un-jitted) objective (vec, los, his, data): vmap over the walker
+    # axis only; bounds and container data stay non-mapped arguments (so the
+    # big event arrays are device buffers, not re-embedded constants)
+    raw = value_only.raw
 
-    batched = jax.vmap(fn)
+    batched = jax.vmap(raw, in_axes=(0, None, None, None))
     if mesh is None:
-        return jax.jit(batched)
-    sharding = NamedSharding(mesh, P(axis_name, None))
-    out_sharding = NamedSharding(mesh, P(axis_name))
-    return jax.jit(
-        batched, in_shardings=(sharding,), out_shardings=out_sharding
-    )
+        jitted = jax.jit(batched)
+    else:
+        sharding = NamedSharding(mesh, P(axis_name, None))
+        out_sharding = NamedSharding(mesh, P(axis_name))
+        jitted = jax.jit(
+            batched,
+            in_shardings=(sharding, None, None, None),
+            out_shardings=out_sharding,
+        )
+
+    def batched_objective(vecs):
+        los, his = compiled_template._current_bounds()
+        return jitted(
+            jnp.asarray(vecs), jnp.asarray(los), jnp.asarray(his),
+            compiled_template._data_vals,
+        )
+
+    return batched_objective

@@ -45,14 +45,17 @@ def main(argv=None):
             ct = pipeline.compile()
             fn = ct._build_fn()
             tot = jax.jit(
-                lambda v: sum(jnp.sum(h) for h in fn(v)["hist"].values())
+                lambda v, data: sum(
+                    jnp.sum(h) for h in fn(v, data=data)["hist"].values()
+                )
             )
             n_free = len(ct.current_rescaled_values())
-            float(tot(ct.current_rescaled_values()))  # compile, excluded
+            # compile, excluded
+            float(tot(ct.current_rescaled_values(), ct._data_vals))
             for _ in range(args.num_templates):
                 v = rng.uniform(0.05, 0.95, n_free)
                 t0 = time.time()
-                float(tot(v))
+                float(tot(v, ct._data_vals))
                 times.append(time.time() - t0)
         times = np.asarray(times)
         print(

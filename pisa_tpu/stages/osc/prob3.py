@@ -245,6 +245,14 @@ class prob3(Stage):  # noqa: N801
             else:
                 container["densities"] = densities
                 container["distances"] = distances
+                # points sorted by chain length let the Pallas kernel's
+                # per-block dynamic layer bound skip the trailing padding
+                # (downgoing chains are 2 slots vs ~24 through the core);
+                # host-precomputed once since geometry is parameter-free
+                container["layer_chain_order"] = np.argsort(
+                    np.count_nonzero(np.asarray(distances) > 0.0, axis=1),
+                    kind="stable",
+                ).astype(np.int32)
         self.data.unlink_containers()
 
     # -- compute --------------------------------------------------------------
@@ -388,6 +396,11 @@ class prob3(Stage):  # noqa: N801
                 if self.layer_dedup
                 else None
             )
+            chain_order = (
+                jnp.asarray(container["layer_chain_order"])
+                if not self.layer_dedup and "layer_chain_order" in container
+                else None
+            )
             probs = osc_probs_layers(
                 dm,
                 mix,
@@ -400,6 +413,7 @@ class prob3(Stage):  # noqa: N801
                 jnp.asarray(container["distances"], dtype=FTYPE),
                 decay_flag=bool(self.neutrino_decay),
                 chain_map=chain_map,
+                chain_order=chain_order,
             )
             container["probability"] = probs
             container.mark_changed("probability")

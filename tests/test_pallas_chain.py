@@ -135,6 +135,40 @@ def test_atan2_polynomial_accuracy():
     )
 
 
+def test_chain_order_permutation_invariance():
+    """Evaluating through a chain-length sort (the per-block dynamic layer
+    bound's enabler) must return results in the original point order."""
+    e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(n=96, n_layers=6)
+    # heterogeneous chain lengths, zero-padded tails
+    rng = np.random.RandomState(5)
+    nl = rng.randint(1, 7, e.size)
+    for i, k in enumerate(nl):
+        dist[i, k:] = 0.0
+        dens[i, k:] = 0.0
+    order = np.argsort(np.count_nonzero(dist > 0, axis=1)).astype(np.int32)
+
+    kwargs = dict(interpret=True)
+    base = np.asarray(
+        osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1,
+            jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist), **kwargs,
+        )
+    )
+    sorted_path = np.asarray(
+        osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1,
+            jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist),
+            order=order, **kwargs,
+        )
+    )
+    np.testing.assert_allclose(sorted_path, base, atol=1e-6)
+    # and against the XLA reference path
+    ref = np.asarray(
+        osc_probs_layers(dm, mix, mat_pot, mat_decay, lri, 1, e, dens, dist)
+    )
+    np.testing.assert_allclose(sorted_path, ref, atol=2e-5)
+
+
 def test_odd_sizes_padding():
     """N not a multiple of the 1024-point block must pad transparently."""
     e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(n=96)
