@@ -168,6 +168,16 @@ class OneDimBinning:
         return self._edges
 
     @property
+    def inbounds_criteria(self):
+        """Boolean cut string keeping values inside the binning's domain,
+        e.g. ``'(true_energy >= 1e0) & (true_energy <= 8e1)'``
+        (cf. reference ``binning.py:994``; used by ``Events.keepInbounds``)."""
+        be = self.edge_magnitudes
+        return "(%s >= %.15e) & (%s <= %.15e)" % (
+            self.name, float(np.min(be)), self.name, float(np.max(be))
+        )
+
+    @property
     def bin_names(self):
         return self._bin_names
 
@@ -479,6 +489,12 @@ class MultiDimBinning:
     @property
     def tot_num_bins(self):
         return self.size
+
+    @property
+    def inbounds_criteria(self):
+        """AND of every dimension's inbounds cut (cf. reference
+        ``binning.py:1989``)."""
+        return " & ".join(f"({d.inbounds_criteria})" for d in self._dims)
 
     @property
     def units(self):

@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterable
+from copy import deepcopy
+
+import numpy as np
 
 __all__ = [
     "NuFlav",
@@ -20,6 +23,7 @@ __all__ = [
     "NuFlavInt",
     "NuFlavIntGroup",
     "FlavIntData",
+    "FlavIntDataGroup",
     "ALL_NUFLAVS",
     "ALL_NUFLAVINTS",
     "flavint_groups_from_string",
@@ -276,6 +280,21 @@ class NuFlavIntGroup:
         if m:
             self._insert(NuFlavInt(s))
             return
+        # compact multi-flavor token as produced by __str__,
+        # e.g. 'numu_numubar_cc' or 'nue_numu_nutau'
+        parts = [p for p in token.strip().lower().split("_") if p]
+        if parts and parts[-1] in ("cc", "nc"):
+            it, flav_parts = parts[-1], parts[:-1]
+        else:
+            it, flav_parts = None, parts
+        if len(flav_parts) > 1 and all(
+            _sanitize(p) in _FLAV_CODES
+            or any(_sanitize(p).startswith(k) for k in self.TOKEN_EXPANSIONS)
+            for p in flav_parts
+        ):
+            for p in flav_parts:
+                self._add_token(p + (f"_{it}" if it else ""))
+            return
         # bare flavor: both interaction types
         self._add(NuFlav(s))
 
@@ -387,6 +406,110 @@ class FlavIntData(dict):
     @property
     def flavints(self):
         return tuple(NuFlavInt(k) for k in self.keys())
+
+
+class FlavIntDataGroup(dict):
+    """Mapping keyed by user-defined NuFlavIntGroups (cf. reference
+    ``flavInt.py:1380``): one datum per *group* of flavints, with key access
+    by any contained flavint/group spec and regrouping via
+    :meth:`transform_groups`."""
+
+    def __init__(self, val=None, flavint_groups=None):
+        super().__init__()
+        if val is None and flavint_groups is None:
+            raise ValueError(
+                "must provide at least one of `val` or `flavint_groups`"
+            )
+        if flavint_groups is not None:
+            groups = self._parse_groups(flavint_groups)
+        else:
+            groups = [NuFlavIntGroup(k) for k in dict(val).keys()]
+        self._flavint_groups = groups
+        for g in groups:
+            super().__setitem__(str(g), None)
+        if val is not None:
+            for k, v in dict(val).items():
+                self[k] = v
+
+    @staticmethod
+    def _parse_groups(flavint_groups):
+        if isinstance(flavint_groups, str):
+            return flavint_groups_from_string(flavint_groups)
+        if isinstance(flavint_groups, NuFlavIntGroup):
+            return [flavint_groups]
+        return [NuFlavIntGroup(g) for g in flavint_groups]
+
+    @property
+    def flavint_groups(self):
+        return list(self._flavint_groups)
+
+    def _key(self, key):
+        """Resolve `key` to the name of the (unique) group containing it."""
+        target = NuFlavIntGroup(key)
+        for g in self._flavint_groups:
+            if str(g) == str(target):
+                return str(g)
+        # accept any key fully contained in exactly one group
+        matches = [
+            g for g in self._flavint_groups
+            if all(fi in g for fi in target)
+        ]
+        if len(matches) == 1:
+            return str(matches[0])
+        raise KeyError(
+            f"{key!r} does not identify a unique flavint group among"
+            f" {[str(g) for g in self._flavint_groups]}"
+        )
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._key(key))
+
+    def __setitem__(self, key, val):
+        super().__setitem__(self._key(key), val)
+
+    def __contains__(self, key):
+        try:
+            self._key(key)
+            return True
+        except (KeyError, ValueError):
+            return False
+
+    def transform_groups(self, flavint_groups):
+        """Regroup into `flavint_groups`: each new group must be a union of
+        whole current groups; their per-field arrays are concatenated
+        (cf. reference ``flavInt.py:1425``)."""
+        new_groups = self._parse_groups(flavint_groups)
+        out = {}
+        for ng in new_groups:
+            sources = [
+                g for g in self._flavint_groups
+                if any(fi in ng for fi in g)
+            ]
+            for g in sources:
+                if not all(fi in ng for fi in g):
+                    raise ValueError(
+                        f"new group {ng} splits existing group {g}"
+                    )
+            covered = {fi for g in sources for fi in g}
+            if set(ng) - covered:
+                raise ValueError(
+                    f"new group {ng} not covered by existing groups"
+                )
+            if not sources:
+                continue
+            if len(sources) == 1:
+                out[str(ng)] = deepcopy(self[str(sources[0])])
+            else:
+                merged = {}
+                fields = set(self[str(sources[0])].keys())
+                for g in sources[1:]:
+                    fields &= set(self[str(g)].keys())
+                for f in fields:
+                    merged[f] = np.concatenate(
+                        [np.asarray(self[str(g)][f]) for g in sources]
+                    )
+                out[str(ng)] = merged
+        return FlavIntDataGroup(val=out)
 
 
 def flavint_groups_from_string(groups):
