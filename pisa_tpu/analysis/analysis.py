@@ -644,14 +644,39 @@ class BasicAnalysis:
                 vg = None
 
         if vg is not None:
+            # Extreme rescaled corners can overflow fp32 templates: values
+            # like 1e14 and NaN gradient components. A NaN gradient makes
+            # scipy line searches silently give up at x0, and a 1e14 trial
+            # value makes cubic interpolation pick alpha ~ f0/f1 ~ 1e-16 —
+            # a zero step (cf. reference analysis.py:1917-1939, which also
+            # tolerates failed evaluations rather than aborting). Two-part
+            # fix: sanitize non-finite values, and minimize the MONOTONE
+            # transform sign(f)*log1p(|f|) with its exact gradient
+            # grad/(1+|f|) — same argmin, locally identical near f ~ 0,
+            # but corner blowups become interpolable. Raw values are kept
+            # in fit_history; metric_val is recomputed from the raw
+            # objective at the optimizer's solution.
             def fun(x):
                 nonlocal counter
                 counter += 1
                 val, grad = vg(np.asarray(x))
                 val = float(val)
+                grad = np.asarray(grad, dtype=np.float64)
+                if not np.isfinite(val):
+                    val = 1e30
+                if not np.all(np.isfinite(grad)):
+                    grad = np.where(np.isfinite(grad), grad, 0.0)
                 fit_history.append([val] + list(np.asarray(x, dtype=float)))
-                return val, np.asarray(grad, dtype=np.float64)
+                tval = np.sign(val) * np.log1p(abs(val))
+                tgrad = grad / (1.0 + abs(val))
+                return float(tval), tgrad
 
+            # compressed values shrink relative reductions (d log1p(f) =
+            # df/(1+f)); tighten the stopping tolerance accordingly
+            if algo in ("l-bfgs-b", "slsqp", "trust-constr"):
+                options.setdefault("ftol", 1e-13)
+            if algo == "l-bfgs-b":
+                options.setdefault("maxls", 50)
             jac = True
         else:
             def fun(x):
@@ -733,6 +758,12 @@ class BasicAnalysis:
         best_x = np.clip(np.asarray(opt_result.x, dtype=np.float64), 0, 1)
         hypo_maker._set_rescaled_free_params(best_x)
 
+        if vg is not None:
+            # opt_result.fun is in the compressed scale; report the raw
+            # objective at the solution
+            raw_val, _ = vg(best_x)
+            opt_result.fun = float(raw_val)
+
         sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
         metadata = {
             "success": bool(getattr(opt_result, "success", True)),
@@ -771,17 +802,232 @@ class BasicAnalysis:
             kwargs, local_fit_kwargs,
         )
 
-    def _fit_iminuit(self, *args, **kwargs):
-        raise NotImplementedError(
-            "iminuit is not available in this environment; use method"
-            " 'scipy' or 'gradient'"
-        )
+    def _fit_iminuit(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Migrad-style fit (cf. reference ``analysis.py:1999``).
 
-    def _fit_nlopt(self, *args, **kwargs):
-        raise NotImplementedError(
-            "nlopt is not available in this environment; use method"
-            " 'scipy' or 'gradient'"
+        Uses the real ``iminuit`` when importable. Otherwise runs the
+        native equivalent: a gradient (L-BFGS-B) minimization followed by a
+        **Hesse** step — parameter uncertainties from the inverse Hessian of
+        the objective at the minimum. The Hessian comes from central finite
+        differences of the *analytic* (autodiff) gradient of the compiled
+        objective, so the errors are exact to O(h^2) where Migrad's are an
+        iterative approximation. Errors land in
+        ``minimizer_metadata['hesse_errors']`` (physical units per free
+        param), alongside ``hesse_cov_rescaled`` in [0,1]-space.
+        """
+        kwargs = dict(method_kwargs or {})
+        run_hesse = bool(kwargs.pop("run_hesse", True))
+        tol = kwargs.pop("tol", None)
+
+        try:
+            import iminuit  # noqa: F401
+
+            have_iminuit = True
+        except ImportError:
+            have_iminuit = False
+
+        if have_iminuit:
+            return self._fit_iminuit_real(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                kwargs, tol,
+            )
+
+        fit_kwargs = {"method": "l-bfgs-b", "gradient": True}
+        if tol is not None:
+            fit_kwargs["options"] = {"ftol": float(tol)}
+        fit_kwargs.update(kwargs)
+        result = self._fit_scipy(
+            data_dist, hypo_maker, metric, external_priors_penalty,
+            fit_kwargs, local_fit_kwargs,
         )
+        result.minimizer_metadata["method"] = "iminuit-equivalent (native)"
+
+        if run_hesse and external_priors_penalty is None:
+            try:
+                self._attach_hesse_errors(result, hypo_maker, data_dist, metric)
+            except Exception as exc:
+                logging.warning("Hesse step failed: %s", exc)
+        return result
+
+    def _fit_iminuit_real(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        kwargs, tol,
+    ):
+        """Actual iminuit Migrad+Hesse path (only when the package exists)."""
+        import iminuit
+
+        metric_name = self._metric_name(metric)
+        free = hypo_maker.params.free
+        x0 = np.asarray(free._rescaled_values, dtype=np.float64)
+        counter = Counter()
+        fit_history = [["metric"] + list(free.names)]
+        t_start = time.time()
+
+        def fun(x):
+            return self._minimizer_callable(
+                x, hypo_maker, data_dist, metric_name, counter, fit_history
+            )
+
+        m = iminuit.Minuit(fun, x0)
+        m.limits = [(0.0, 1.0)] * len(x0)
+        if tol is not None:
+            m.tol = tol
+        m.migrad()
+        m.hesse()
+        best_x = np.clip(np.asarray(m.values, dtype=np.float64), 0, 1)
+        hypo_maker._set_rescaled_free_params(best_x)
+        sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
+        result = HypoFitResult(
+            metric=[metric_name],
+            metric_val=sign * float(m.fval),
+            data_dist=data_dist,
+            hypo_maker=hypo_maker,
+            minimizer_time=time.time() - t_start,
+            minimizer_metadata={
+                "success": bool(m.valid),
+                "message": repr(m.fmin),
+                "nit": int(m.nfcn),
+                "nfev": int(m.nfcn),
+                "method": "iminuit",
+                "hesse_errors": dict(
+                    zip(free.names, np.asarray(m.errors, dtype=float))
+                ),
+            },
+            fit_history=fit_history,
+            counter=counter,
+        )
+        return result
+
+    def _attach_hesse_errors(self, result, hypo_maker, data_dist, metric):
+        """Hesse step: parameter errors from the inverse Hessian of the
+        objective at the best fit, via central differences of the analytic
+        gradient (the compiled objective's autodiff VJP)."""
+        metric_name = self._metric_name(metric)
+        compiled = self._get_compiled(hypo_maker)
+        _, vg = compiled.build_objective(
+            self._data_total(data_dist), metric_name
+        )
+        free = hypo_maker.params.free
+        x = np.asarray(free._rescaled_values, dtype=np.float64)
+        n = len(x)
+        h = 1e-4
+        hess = np.zeros((n, n))
+        for i in range(n):
+            xp = x.copy(); xp[i] = min(1.0, x[i] + h)
+            xm = x.copy(); xm[i] = max(0.0, x[i] - h)
+            _, gp = vg(xp)
+            _, gm = vg(xm)
+            hess[i] = (np.asarray(gp) - np.asarray(gm)) / (xp[i] - xm[i])
+        hess = 0.5 * (hess + hess.T)
+        # llh-family objectives are -llh; chi2-family are chi2 = -2llh.
+        # cov = H^{-1} for -llh, 2 H^{-1} for chi2 (errordef 1 vs 2).
+        errordef = 1.0 if stats.is_metric_to_maximize(metric_name) else 2.0
+        cov = errordef * np.linalg.inv(hess)
+        var = np.clip(np.diag(cov), 0.0, np.inf)
+        # rescaled -> physical units via d(mag)/d(rescaled)
+        errors = {}
+        for i, p in enumerate(free):
+            lo = p.range[0].m_as(p.units)
+            hi = p.range[1].m_as(p.units)
+            if p.scales_as_log:
+                deriv = abs(
+                    p.value.m_as(p.units) * np.log(abs(hi) / abs(lo))
+                )
+            else:
+                deriv = hi - lo
+            errors[p.name] = float(np.sqrt(var[i]) * abs(deriv))
+        result.minimizer_metadata["hesse_errors"] = errors
+        result.minimizer_metadata["hesse_cov_rescaled"] = cov.tolist()
+
+    # NLopt derivative-free algorithm -> native scipy equivalent, used when
+    # the nlopt package is absent (cf. reference ``analysis.py:2218`` which
+    # exposes the same algorithm vocabulary)
+    _NLOPT_EQUIV = {
+        "LN_NELDERMEAD": ("nelder-mead", False),
+        "LN_SBPLX": ("nelder-mead", False),
+        "LN_COBYLA": ("cobyla", False),
+        "LN_BOBYQA": ("powell", False),
+        "LN_PRAXIS": ("powell", False),
+        "LD_LBFGS": ("l-bfgs-b", True),
+        "LD_SLSQP": ("slsqp", True),
+        "LD_MMA": ("l-bfgs-b", True),
+        "GN_DIRECT": ("shgo", False),
+        "GN_DIRECT_L": ("shgo", False),
+        "GN_CRS2_LM": ("differential_evolution", False),
+        "GN_ESCH": ("differential_evolution", False),
+        "GN_ISRES": ("differential_evolution", False),
+        "G_MLSL": ("basinhopping", True),
+        "G_MLSL_LDS": ("basinhopping", True),
+        "GD_STOGO": ("basinhopping", True),
+    }
+
+    def _fit_nlopt(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """NLopt-style fit (cf. reference ``analysis.py:2218``).
+
+        Uses the real ``nlopt`` when importable; otherwise translates the
+        NLopt algorithm vocabulary (``method_kwargs['algorithm']`` e.g.
+        'LN_NELDERMEAD', 'GN_CRS2_LM', …) and stopping criteria
+        (ftol_abs/ftol_rel/xtol_rel/maxeval) to the equivalent native
+        scipy/gradient fit.
+        """
+        kwargs = dict(method_kwargs or {})
+        algo = str(kwargs.pop("algorithm", "LN_NELDERMEAD")).upper()
+        algo = algo.replace("NLOPT_", "")
+
+        try:
+            import nlopt  # noqa: F401
+
+            have_nlopt = True
+        except ImportError:
+            have_nlopt = False
+
+        if have_nlopt:
+            raise NotImplementedError(
+                "native nlopt bindings path not wired; translate via the"
+                " scipy-equivalent fallback (uninstall nlopt)"
+            )
+
+        if algo not in self._NLOPT_EQUIV:
+            raise ValueError(
+                f"Unknown NLopt algorithm {algo!r}; known:"
+                f" {sorted(self._NLOPT_EQUIV)}"
+            )
+        scipy_method, use_grad = self._NLOPT_EQUIV[algo]
+
+        options = {}
+        if "maxeval" in kwargs:
+            options["maxiter"] = int(kwargs.pop("maxeval"))
+        if "ftol_abs" in kwargs:
+            options["fatol" if scipy_method == "nelder-mead" else "ftol"] = (
+                float(kwargs.pop("ftol_abs"))
+            )
+        if "ftol_rel" in kwargs:
+            options.setdefault("ftol", float(kwargs.pop("ftol_rel")))
+        if "xtol_rel" in kwargs:
+            options["xatol" if scipy_method == "nelder-mead" else "xtol"] = (
+                float(kwargs.pop("xtol_rel"))
+            )
+        kwargs.pop("ftol_abs", None)
+        kwargs.pop("xtol_abs", None)
+
+        fit_kwargs = {"method": scipy_method, "gradient": use_grad}
+        if options:
+            fit_kwargs["options"] = options
+        fit_kwargs.update(kwargs)
+        result = self._fit_scipy(
+            data_dist, hypo_maker, metric, external_priors_penalty,
+            fit_kwargs, local_fit_kwargs,
+        )
+        result.minimizer_metadata["method"] = (
+            f"nlopt-equivalent (native, {algo} -> {scipy_method})"
+        )
+        return result
 
 
 class Analysis(BasicAnalysis):

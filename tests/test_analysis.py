@@ -164,3 +164,93 @@ class TestFitResult:
         assert state["num_distributions_generated"] >= 1
         assert result.hypo_asimov_dist is not None
         assert result.minimizer_time.m_as("s") > 0
+
+
+class TestIminuitEquivalent:
+    """Native Migrad+Hesse path (cf. reference ``analysis.py:1999``
+    ``_fit_iminuit``): gradient minimization + inverse-Hessian errors."""
+
+    def test_fit_and_hesse_errors(self, hypo_maker, asimov_data, truth):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 39.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "iminuit", {}, None
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 0.5
+        errs = result.minimizer_metadata["hesse_errors"]
+        assert set(errs) == set(result.params.free.names)
+        # Asimov chi2 curvature errors must be positive, finite, and small
+        # relative to the parameter ranges
+        for name, err in errs.items():
+            assert np.isfinite(err) and err > 0, (name, err)
+        # marginal sigma is within the parameter range scale
+        assert errs["theta23"] < 45.0  # degrees (range is 90 wide)
+
+    def test_hesse_error_matches_profile_curvature(
+        self, hypo_maker, asimov_data, truth
+    ):
+        """The *conditional* sigma from the Hesse covariance (inverse of the
+        covariance's inverse diagonal) must match the numeric 1-d curvature
+        of the objective with the other params held at the minimum; the
+        marginal (reported) sigma must be >= the conditional one."""
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "iminuit", {}, None
+        )
+        free_names = list(hypo_maker.params.free.names)
+        i = free_names.index("theta23")
+        cov = np.asarray(result.minimizer_metadata["hesse_cov_rescaled"])
+        sigma_marg_r = np.sqrt(cov[i, i])
+        sigma_cond_r = np.sqrt(1.0 / np.linalg.inv(cov)[i, i])
+        assert sigma_marg_r >= sigma_cond_r * 0.999
+
+        # numeric 1-d curvature at the minimum (mod_chi2: errordef 2)
+        compiled = ana._get_compiled(hypo_maker)
+        value_fn, _ = compiled.build_objective(asimov_data, "mod_chi2")
+        x = np.asarray(hypo_maker.params.free._rescaled_values)
+        h = 5e-3
+        xp, xm = x.copy(), x.copy()
+        xp[i] += h
+        xm[i] -= h
+        d2 = (
+            float(value_fn(xp)) - 2 * float(value_fn(x)) + float(value_fn(xm))
+        ) / h**2
+        sigma_curv_r = np.sqrt(2.0 / d2)
+        np.testing.assert_allclose(sigma_cond_r, sigma_curv_r, rtol=0.1)
+
+        # reported physical error is the marginal sigma in physical units
+        p = hypo_maker.params["theta23"]
+        dmag = (p.range[1] - p.range[0]).m_as("degree")
+        np.testing.assert_allclose(
+            result.minimizer_metadata["hesse_errors"]["theta23"],
+            sigma_marg_r * dmag, rtol=1e-6,
+        )
+
+
+class TestNloptEquivalent:
+    """NLopt algorithm vocabulary via native scipy equivalents
+    (cf. reference ``analysis.py:2218`` ``_fit_nlopt``)."""
+
+    @pytest.mark.parametrize("algo", ["LN_NELDERMEAD", "LD_LBFGS"])
+    def test_recovers_truth(self, hypo_maker, asimov_data, truth, algo):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 40.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {"algorithm": algo, "ftol_abs": 1e-9, "maxeval": 500}, None,
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 0.5
+        assert algo in result.minimizer_metadata["method"]
+
+    def test_unknown_algorithm_raises(self, hypo_maker, asimov_data):
+        ana = BasicAnalysis()
+        with pytest.raises(ValueError):
+            ana.fit_recursively(
+                asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+                {"algorithm": "LN_BOGUS"}, None,
+            )
