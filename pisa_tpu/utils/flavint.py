@@ -78,6 +78,11 @@ class NuFlav:
     def is_antiparticle(self):
         return self.code < 0
 
+    @property
+    def particle(self):
+        """True for particle, False for antiparticle (reference API)."""
+        return self.code > 0
+
     def bar(self):
         """The conjugate flavor."""
         return NuFlav(-self.code)
@@ -192,6 +197,11 @@ class NuFlavInt:
     @property
     def nc(self):
         return self.int_type == "nc"
+
+    @property
+    def particle(self):
+        """True for particle, False for antiparticle (reference API)."""
+        return self.flav.particle
 
     @property
     def tex(self):
@@ -347,6 +357,13 @@ class NuFlavIntGroup:
             if fi.flav not in out:
                 out.append(fi.flav)
         return tuple(out)
+
+    # reference-API method forms (``flavInt.py``)
+    def get_flavints(self):
+        return tuple(self._flavints)
+
+    def get_flavs(self):
+        return self.flavs
 
     @property
     def cc_flavints(self):
