@@ -124,6 +124,39 @@ def main():
         for i in range(reps):
             np.asarray(btot(vb + i * 1e-5, ct._data_vals))
         rate_b = batch * reps / (time.time() - t0)
+
+        # in-device rate: scan of batched evaluations inside ONE device
+        # program — no per-call host round-trip through the tunnel; this is
+        # the chip's true template throughput
+        steps = 10
+
+        @_jax.jit
+        def _scan(vb, data):
+            def step(c, _):
+                r = _jax.vmap(tot, in_axes=(0, None))(vb + c * 1e-6, data)
+                return c + _jnp.sum(r) * 1e-30, None
+            c, _ = _jax.lax.scan(
+                step, _jnp.float32(0.0), None, length=steps
+            )
+            return c
+
+        float(_scan(vb, ct._data_vals))  # compile (excluded)
+        t0 = time.time()
+        float(_scan(vb, ct._data_vals))
+        rate_d = batch * steps / (time.time() - t0)
+        print(
+            json.dumps(
+                {
+                    "metric": "icecube_3y_indevice_templates_per_sec",
+                    "value": round(rate_d, 3),
+                    "unit": "templates/s",
+                    "vs_baseline": round(
+                        rate_d / CPU_BASELINE["icecube_3y"], 2
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
         print(
             json.dumps(
                 {
