@@ -1047,6 +1047,20 @@ class Analysis(BasicAnalysis):
             hypo_maker.select_params(hypo_param_selections)
         if reset_free:
             hypo_maker.reset_free()
+        if isinstance(minimizer_settings, str) or (
+            isinstance(minimizer_settings, dict)
+            and isinstance(minimizer_settings.get("method"), dict)
+        ):
+            # reference settings-file schema (settings/minimizer/*.json):
+            # validated + defaulted, then run through the scipy path
+            from pisa_tpu.analysis.minimizer_config import (
+                load_minimizer_settings,
+            )
+
+            minimizer_settings = {
+                "method": "scipy",
+                "method_kwargs": load_minimizer_settings(minimizer_settings),
+            }
         settings = minimizer_settings or {
             "method": "scipy",
             "method_kwargs": {"method": "l-bfgs-b"},

@@ -65,9 +65,13 @@ class Prior:
             self.max_at = Quantity(self.param_vals.magnitude[imax], pv.units)
         elif kind == "spline":
             self.kind = "spline"
-            self.knots = interpret_quantity(
-                kwargs.pop("knots"), expect_sequence=True
-            )
+            knots = kwargs.pop("knots")
+            # reference prior files carry bare knots + a separate 'units'
+            # entry (e.g. priors/nufitv20standardtheta23splines.json)
+            units = kwargs.pop("units", None)
+            if units is not None and not isinstance(knots, Quantity):
+                knots = Quantity(np.asarray(knots, dtype=float), units)
+            self.knots = interpret_quantity(knots, expect_sequence=True)
             self.coeffs = np.asarray(kwargs.pop("coeffs"), dtype=float)
             self.deg = int(kwargs.pop("deg"))
             self.units = str(self.knots.units)

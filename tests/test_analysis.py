@@ -254,3 +254,59 @@ class TestNloptEquivalent:
                 asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
                 {"algorithm": "LN_BOGUS"}, None,
             )
+
+
+class TestMinimizerSettingsFiles:
+    """Reference minimizer settings-file schema handling
+    (cf. reference ``configure_scipy_minimization.py:23-274`` and
+    ``settings/minimizer/*.json``)."""
+
+    def test_load_defaults_and_validation(self):
+        from pisa_tpu.analysis.minimizer_config import (
+            load_minimizer_settings,
+            set_minimizer_defaults,
+            validate_minimizer_settings,
+        )
+
+        mk = load_minimizer_settings(
+            "settings/minimizer/slsqp_ftol1e-6_eps1e-4_maxiter1000.json"
+        )
+        assert mk["method"] == "slsqp"
+        assert mk["options"]["ftol"] == 1e-6
+        assert mk["options"]["maxiter"] == 1000
+
+        # defaults get filled in
+        s = set_minimizer_defaults(
+            {"method": {"value": "l-bfgs-b", "desc": ""}}
+        )
+        assert "maxcor" in s["options"]["value"]
+
+        # validation: unknown option rejected
+        bad = set_minimizer_defaults(
+            {"method": {"value": "slsqp", "desc": ""}}
+        )
+        bad["options"]["value"]["bogus"] = 1
+        with pytest.raises(ValueError):
+            validate_minimizer_settings(bad)
+
+        # validation: eps below fp64 machine epsilon rejected
+        bad2 = set_minimizer_defaults(
+            {"method": {"value": "slsqp", "desc": ""}}
+        )
+        bad2["options"]["value"]["eps"] = 1e-17
+        with pytest.raises(ValueError):
+            validate_minimizer_settings(bad2)
+
+    def test_fit_hypo_accepts_settings_file(self, hypo_maker, asimov_data):
+        ana = Analysis()
+        result, _ = ana.fit_hypo(
+            asimov_data,
+            hypo_maker,
+            "mod_chi2",
+            minimizer_settings=(
+                "settings/minimizer/"
+                "l-bfgs-b_ftol2e-7_gtol1e-5_eps1e-4_maxiter200.json"
+            ),
+        )
+        assert result.metric_val < 1.0
+        assert result.minimizer_metadata["method"] == "l-bfgs-b"

@@ -187,3 +187,35 @@ class TestMakeEventsFile:
         import os
 
         assert os.path.exists(outpath)
+
+
+class TestAddFluxToEventsFile:
+    def test_adds_flux_fields(self, tmp_path):
+        import numpy as np
+
+        from pisa_tpu.scripts.add_flux_to_events_file import (
+            add_fluxes_to_file,
+        )
+        from pisa_tpu.utils.fileio import from_file, to_file
+        from pisa_tpu.utils.flux_weights import load_2d_table
+
+        rng = np.random.RandomState(0)
+        d = {
+            "numu_cc": {
+                "true_energy": rng.uniform(1, 80, 50),
+                "true_coszen": rng.uniform(-1, 1, 50),
+            },
+            "muons": {"true_energy": rng.uniform(1, 80, 10)},
+        }
+        src = str(tmp_path / "ev.hdf5")
+        to_file(d, src)
+        table = load_2d_table("flux/honda-2015-spl-solmin-aa.d")
+        out = add_fluxes_to_file(src, table, "nominal", overwrite=True)
+        back = from_file(out)
+        for t in ("nue", "nuebar", "numu", "numubar"):
+            f = np.asarray(back["numu_cc"][f"nominal_{t}_flux"])
+            assert f.shape == (50,) and (f > 0).all()
+        # muons untouched
+        assert "nominal_numu_flux" not in back["muons"]
+        # idempotent without overwrite
+        assert add_fluxes_to_file(src, table, "nominal") == out
