@@ -183,19 +183,23 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
         d2 = jnp.abs(target - m_v[2])
         picks.append((d1 < d0, d2 < jnp.minimum(d0, d1)))
 
-    def flat(m):
-        return tuple(m[i][j].re for i in range(3) for j in range(3)) + tuple(
-            m[i][j].im for i in range(3) for j in range(3)
+    # carry: the two propagated initial-state columns (nu_e, nu_mu in the
+    # mass basis) — 12 real registers instead of the full 3x3 matrix's 18;
+    # the tau row of the probability matrix is reconstructed outside from
+    # double stochasticity (|U|^2 of a unitary has unit column sums)
+    def flat(v):
+        return tuple(v[a][i].re for a in range(2) for i in range(3)) + tuple(
+            v[a][i].im for a in range(2) for i in range(3)
         )
 
     def unflat(t):
         return [
-            [C(t[3 * i + j], t[9 + 3 * i + j]) for j in range(3)]
-            for i in range(3)
+            [C(t[3 * a + i], t[6 + 3 * a + i]) for i in range(3)]
+            for a in range(2)
         ]
 
     def body(layer, carry):
-        P = unflat(carry)
+        V = unflat(carry)
         rho = dens_ref[layer]
         dx = dist_ref[layer]
         a = (0.5 * TWO_SQRT2_GF) * rho
@@ -321,35 +325,48 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
             [tsum(4, True), tsum(5, True), tsum(2)],
         ]
 
-        # chain product P <- T @ P; zero-length layers act as identity
+        # chain product on the two state columns: v <- T @ v;
+        # zero-length layers act as identity
         keep = dx > 0.0
-        TP = mat_mul(T, P)
-        newP = [
-            [
-                C(
-                    jnp.where(keep, TP[i][j].re, P[i][j].re),
-                    jnp.where(keep, TP[i][j].im, P[i][j].im),
+        newV = []
+        for a in range(2):
+            col = []
+            for i in range(3):
+                acc = (
+                    T[i][0] * V[a][0]
+                    + T[i][1] * V[a][1]
+                    + T[i][2] * V[a][2]
                 )
-                for j in range(3)
-            ]
-            for i in range(3)
-        ]
-        return flat(newP)
+                col.append(
+                    C(
+                        jnp.where(keep, acc.re, V[a][i].re),
+                        jnp.where(keep, acc.im, V[a][i].im),
+                    )
+                )
+            newV.append(col)
+        return flat(newV)
 
-    eye = [
-        [C(ones, zeros) if i == j else C(zeros, zeros) for j in range(3)]
-        for i in range(3)
+    # initial states: |nu_a> rotated to the mass basis, i.e. column a of
+    # U^dagger: v_a[i] = conj(U[a][i])
+    init = [
+        [C(U[a][i].re * ones, -U[a][i].im * ones) for i in range(3)]
+        for a in range(2)
     ]
     carry = jax.lax.fori_loop(
-        0, nl_ref[pl.program_id(0), 0], body, flat(eye)
+        0, nl_ref[pl.program_id(0), 0], body, flat(init)
     )
-    P = unflat(carry)
+    V = unflat(carry)
 
-    # flavor basis: U P U^dagger; probs[n, a, b] = |F[b][a]|^2
-    F = mat_mul(mat_mul(U, P), mat_conj_T(U))
-    for a in range(3):
+    # back to the flavor basis: F[b][a] = (U v_a)[b];
+    # probs[n, a, b] = |F[b][a]|^2
+    for a in range(2):
         for b in range(3):
-            out_ref[a, b] = F[b][a].abs2()
+            f = (
+                U[b][0] * V[a][0]
+                + U[b][1] * V[a][1]
+                + U[b][2] * V[a][2]
+            )
+            out_ref[a, b] = f.abs2()
 
 
 def _pack_params(U, M_eff, L_eff, dm_vac, dtype):
@@ -414,7 +431,7 @@ def chain_probs_pallas(
 
     out = pl.pallas_call(
         partial(_chain_kernel, n_layers=n_layers),
-        out_shape=jax.ShapeDtypeStruct((3, 3, rows, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((2, 3, rows, LANES), dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -437,14 +454,18 @@ def chain_probs_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, 3, BLOCK_ROWS, LANES), lambda i: (0, 0, i, 0),
+            (2, 3, BLOCK_ROWS, LANES), lambda i: (0, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(pvec, nl_blocks, e2, dens, dist)
 
-    # (3, 3, rows, LANES) -> (N, 3, 3)
-    return out.reshape(3, 3, n_pad).transpose(2, 0, 1)[:n]
+    # (2, 3, rows, LANES) -> (N, 2, 3); the kernel propagates only the
+    # nu_e / nu_mu initial states — the tau row follows exactly from
+    # double stochasticity of |unitary|^2 (column sums are 1)
+    p2 = out.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
+    tau_row = jnp.maximum(1.0 - p2[:, 0, :] - p2[:, 1, :], 0.0)
+    return jnp.concatenate([p2, tau_row[:, None, :]], axis=1)
 
 
 def _probs_pallas_impl(
