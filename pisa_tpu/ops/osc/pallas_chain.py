@@ -79,8 +79,14 @@ from pisa_tpu.ops.osc.kernels import (
 
 __all__ = ["osc_probs_layers_pallas", "chain_probs_pallas"]
 
+import os as _os
+
 LANES = 128
-BLOCK_ROWS = 8  # points per grid step = BLOCK_ROWS * LANES
+# points per grid step = BLOCK_ROWS * LANES; overridable for tuning sweeps.
+# Swept on TPU v5e at flagship geometry (vmapped x32, sorted chains):
+# 8 -> 0.334 ms/propagation, 16 -> 0.310, 32 -> 0.312; 16 balances grid
+# overhead against per-block chain-length homogeneity.
+BLOCK_ROWS = int(_os.environ.get("PISA_TPU_OSC_BLOCK_ROWS", "16"))
 
 # atan(t)/t on [0, 1] as a degree-9 polynomial in t^2 (Chebyshev-node
 # least-squares fit; max abs error 1.8e-9 < fp32 eps).
@@ -170,10 +176,15 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
     tmp_v = jnp.maximum(p_v * p_v * p_v - q_v * q_v, 0.0)
     res_v = _atan2_pos(jnp.sqrt(tmp_v), q_v) * third
     b_v = (2.0 * third) * jnp.sqrt(p_v)
+    # cos(res +- 2pi/3) via angle addition: 2 transcendentals, not 3
+    cr_v, sr_v = jnp.cos(res_v), jnp.sin(res_v)
+    half_sqrt3 = 0.8660254037844386
     m_v = [
-        two_e * (scale_v * (b_v * jnp.cos(res_v + ang) - c2_v * third) + dm00),
-        two_e * (scale_v * (b_v * jnp.cos(res_v - ang) - c2_v * third) + dm00),
-        two_e * (scale_v * (b_v * jnp.cos(res_v) - c2_v * third) + dm00),
+        two_e * (scale_v * (b_v * (-0.5 * cr_v - half_sqrt3 * sr_v)
+                            - c2_v * third) + dm00),
+        two_e * (scale_v * (b_v * (-0.5 * cr_v + half_sqrt3 * sr_v)
+                            - c2_v * third) + dm00),
+        two_e * (scale_v * (b_v * cr_v - c2_v * third) + dm00),
     ]
     # selection masks: m[i] = m_u[argmin_j |dm_vac[i,0] - m_v[j]|]
     picks = []
@@ -249,10 +260,14 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
         )
         res = _atan2_pos(jnp.sqrt(tmp), qq) * third
         b = (2.0 * third) * jnp.sqrt(pp)
+        cr, sr = jnp.cos(res), jnp.sin(res)
+        half_sqrt3 = 0.8660254037844386
         m_u = [
-            two_e * (scale * (b * jnp.cos(res + ang) - c2 * third) + dm00),
-            two_e * (scale * (b * jnp.cos(res - ang) - c2 * third) + dm00),
-            two_e * (scale * (b * jnp.cos(res) - c2 * third) + dm00),
+            two_e * (scale * (b * (-0.5 * cr - half_sqrt3 * sr)
+                              - c2 * third) + dm00),
+            two_e * (scale * (b * (-0.5 * cr + half_sqrt3 * sr)
+                              - c2 * third) + dm00),
+            two_e * (scale * (b * cr - c2 * third) + dm00),
         ]
         m = []
         for pick1, pick2 in picks:
@@ -303,11 +318,14 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
 
         s = phase_s * dx
 
-        def cphase(k, inv):
-            ar = m[k] * s
-            return C(jnp.cos(ar) * inv, jnp.sin(ar) * inv)
-
-        cp0, cp1, cp2 = cphase(0, inv0), cphase(1, inv1), cphase(2, inv2)
+        # only phase DIFFERENCES survive |.|^2 of the chain product (the
+        # per-layer global phase e^{i m0 s} factors out of T and the total
+        # product), so T is computed up to e^{i m0 s}: cp0 becomes REAL and
+        # only two complex phases (4 transcendentals, not 6) are needed.
+        ar1 = -d01 * s  # (m1 - m0) s
+        ar2 = -d02 * s  # (m2 - m0) s
+        cp1 = C(jnp.cos(ar1) * inv1, jnp.sin(ar1) * inv1)
+        cp2 = C(jnp.cos(ar2) * inv2, jnp.sin(ar2) * inv2)
 
         def tsum(idx, conjugate=False):
             a, b, c = Pr0[idx], Pr1[idx], Pr2[idx]
@@ -317,7 +335,10 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
                     b.conj() if isinstance(b, C) else b,
                     c.conj() if isinstance(c, C) else c,
                 )
-            return cp0 * a + cp1 * b + cp2 * c
+            first = a * inv0 if isinstance(a, C) else C(
+                a * inv0, zeros
+            )
+            return first + cp1 * b + cp2 * c
 
         T = [
             [tsum(0), tsum(3), tsum(4)],
