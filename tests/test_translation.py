@@ -5,7 +5,10 @@ inf edges, NaN samples, and values exactly on edges."""
 import numpy as np
 import pytest
 
-from pisa_tpu import ureg
+from pisa_tpu import FTYPE, ureg
+
+# fp32 scatter-add accumulates in fp32; numpy histogramdd sums in fp64
+HIST_RTOL = 1e-10 if FTYPE == np.float64 else 3e-5
 from pisa_tpu.core.binning import MultiDimBinning, OneDimBinning
 from pisa_tpu.core import translation as tr
 
@@ -54,8 +57,10 @@ class TestFindIndex:
 
     def test_ulp_near_edges(self):
         edges = np.array([0.0, 1.0, 2.0])
-        below = np.nextafter(1.0, 0.0)
-        above = np.nextafter(1.0, 2.0)
+        # ulps of the ACTIVE precision: an fp64 1-ulp offset rounds back
+        # onto the edge when the kernel runs in fp32
+        below = np.nextafter(FTYPE(1.0), FTYPE(0.0))
+        above = np.nextafter(FTYPE(1.0), FTYPE(2.0))
         self.check(edges, below, 0)
         self.check(edges, above, 1)
 
@@ -70,7 +75,7 @@ class TestHistogram:
         ]
         w = rng.uniform(0, 2, n)
         ours = np.asarray(tr.histogram(sample, w, binning))
-        np.testing.assert_allclose(ours, np_histdd(sample, w, binning), rtol=1e-10)
+        np.testing.assert_allclose(ours, np_histdd(sample, w, binning), rtol=HIST_RTOL)
 
     def test_unweighted(self, binning):
         rng = np.random.RandomState(1)
@@ -88,7 +93,7 @@ class TestHistogram:
         assert ours.shape == (binning.size, 2)
         for ch in range(2):
             np.testing.assert_allclose(
-                ours[:, ch], np_histdd(sample, w[:, ch], binning), rtol=1e-10
+                ours[:, ch], np_histdd(sample, w[:, ch], binning), rtol=HIST_RTOL
             )
 
     def test_averaged(self, binning):
@@ -101,7 +106,7 @@ class TestHistogram:
         counts = np_histdd(sample, None, binning)
         with np.errstate(invalid="ignore"):
             expect = np.nan_to_num(sums / counts)
-        np.testing.assert_allclose(avg, expect, rtol=1e-10)
+        np.testing.assert_allclose(avg, expect, rtol=HIST_RTOL)
 
     def test_values_on_edges(self, binning):
         # events exactly on interior and outer edges
@@ -171,7 +176,7 @@ class TestLookup:
         vals = np.asarray(tr.lookup(sample, hist, binning))
         # check a few events explicitly
         flat_idx = np.asarray(tr.lookup_indices_flat(sample, binning))
-        np.testing.assert_allclose(vals, np.asarray(hist)[flat_idx], rtol=1e-10)
+        np.testing.assert_allclose(vals, np.asarray(hist)[flat_idx], rtol=HIST_RTOL)
 
     def test_out_of_range_zero(self, binning):
         hist = np.ones(binning.size)
