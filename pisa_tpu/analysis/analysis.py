@@ -672,11 +672,15 @@ class BasicAnalysis:
                 return float(tval), tgrad
 
             # compressed values shrink relative reductions (d log1p(f) =
-            # df/(1+f)); tighten the stopping tolerance accordingly
+            # df/(1+f)) and shrink GRADIENTS by the same 1/(1+|f|) factor —
+            # for llh-scale objectives (|f| ~ 1e4+) the scipy defaults
+            # (ftol ~ 2e-9 relative, l-bfgs-b gtol = 1e-5) would then stop
+            # orders of magnitude early; tighten both accordingly
             if algo in ("l-bfgs-b", "slsqp", "trust-constr"):
                 options.setdefault("ftol", 1e-13)
             if algo == "l-bfgs-b":
                 options.setdefault("maxls", 50)
+                options.setdefault("gtol", 1e-12)
             jac = True
         else:
             def fun(x):

@@ -88,8 +88,12 @@ def adaptive_gaussian_kde(
     ones = jnp.ones(n, dtype=x.dtype)
     if adaptive:
         pilot = density_at(x, ones)  # pilot at sample points
-        log_g = jnp.sum(w * jnp.log(jnp.clip(pilot, 1e-300, None)))
-        lam = jnp.exp(-alpha * (jnp.log(jnp.clip(pilot, 1e-300, None)) - log_g))
+        # dtype-aware floor: a 1e-300 literal underflows to 0 in fp32,
+        # turning log(pilot) into -inf and 0-weight terms into NaN
+        tiny = jnp.finfo(x.dtype).tiny
+        log_pilot = jnp.log(jnp.clip(pilot, tiny, None))
+        log_g = jnp.sum(w * log_pilot)
+        lam = jnp.exp(-alpha * (log_pilot - log_g))
     else:
         lam = ones
     return density_at(points, lam)

@@ -137,8 +137,17 @@ def llh(actual, expected, variance=None):
     limit so jit/grad stay finite)."""
     e = _clip(expected)
     a = jnp.asarray(actual)
-    a_log_a = jnp.where(a > 0, a * jnp.log(jnp.where(a > 0, a, 1.0)), 0.0)
-    return a * jnp.log(e) - e - (a_log_a - a)
+    # Algebraically identical form built for floating point: with
+    # x = (e - a)/a,   a ln(e) - e - (a ln(a) - a)  ==  a * (log1p(x) - x).
+    # Near the minimum (e ~ a) the naive form computes an O(x^2) result by
+    # cancelling O(a)-magnitude terms (fp32 noise ~ a*eps stalls gradient
+    # fits); here the cancellation happens at x-magnitude instead, keeping
+    # absolute accuracy ~ x*eps.
+    safe_a = jnp.where(a > 0, a, 1.0)
+    x = (e - safe_a) / safe_a
+    per_bin = safe_a * (jnp.log1p(x) - x)
+    # a == 0: a ln(e) - e - (a ln a - a) -> -e
+    return jnp.where(a > 0, per_bin, -e)
 
 
 def log_poisson(k, lam):

@@ -299,14 +299,21 @@ class TestMinimizerSettingsFiles:
 
     def test_fit_hypo_accepts_settings_file(self, hypo_maker, asimov_data):
         ana = Analysis()
+        from pisa_tpu import FTYPE
+
+        # the l-bfgs-b file's ftol is fp64-tuned (validation correctly
+        # rejects it under fp32); the slsqp file works at both precisions
+        settings_file = (
+            "settings/minimizer/l-bfgs-b_ftol2e-7_gtol1e-5_eps1e-4"
+            "_maxiter200.json"
+            if FTYPE == np.float64
+            else "settings/minimizer/slsqp_ftol1e-6_eps1e-4_maxiter1000.json"
+        )
         result, _ = ana.fit_hypo(
             asimov_data,
             hypo_maker,
             "mod_chi2",
-            minimizer_settings=(
-                "settings/minimizer/"
-                "l-bfgs-b_ftol2e-7_gtol1e-5_eps1e-4_maxiter200.json"
-            ),
+            minimizer_settings=settings_file,
         )
         assert result.metric_val < 1.0
-        assert result.minimizer_metadata["method"] == "l-bfgs-b"
+        assert result.minimizer_metadata["method"] in ("l-bfgs-b", "slsqp")

@@ -15,6 +15,10 @@ Checks, per bin:
 
 import numpy as np
 import pytest
+
+from pisa_tpu import FTYPE
+
+BARLOW_ABS = 1e-6 if FTYPE == np.float64 else 5e-3
 from scipy.optimize import brentq, minimize_scalar
 from scipy.special import gammaln
 
@@ -86,7 +90,7 @@ def test_closed_form_matches_numerical_profile():
             )[0]
         )
         ref = _single_source_numeric(float(d), e, var)
-        assert ours == pytest.approx(ref, abs=1e-6), (d, e, var)
+        assert ours == pytest.approx(ref, abs=BARLOW_ABS), (d, e, var)
 
 
 def test_matches_published_single_source_solution():
@@ -103,7 +107,7 @@ def test_matches_published_single_source_solution():
             )[0]
         )
         ref = _barlow_beeston_multisource(float(d), [N], [w])
-        assert ours == pytest.approx(ref, abs=1e-6)
+        assert ours == pytest.approx(ref, abs=BARLOW_ABS)
 
 
 def test_single_effective_source_approximation_quality():

@@ -6,6 +6,12 @@ computation via segment sums.
 
 import numpy as np
 import pytest
+
+from pisa_tpu import FTYPE
+
+_FP64 = FTYPE == np.float64
+GLLH_RTOL = 1e-8 if _FP64 else 2e-4
+GLLH_ATOL = 0.0 if _FP64 else 1e-5
 from scipy.special import gammaln
 
 import jax
@@ -39,7 +45,7 @@ def test_single_source_matches_closed_form():
         )
     )
     expected = _single_pg_closed_form(ks.astype(float), alpha, beta)
-    assert np.allclose(logp, expected, rtol=1e-8)
+    assert np.allclose(logp, expected, rtol=GLLH_RTOL, atol=GLLH_ATOL)
 
 
 def test_multi_source_normalization():
@@ -80,7 +86,7 @@ def test_against_direct_recursion():
         expected[b] = np.log(prefac * deltas[ks[b]])
 
     got = np.asarray(generalized_pg_log_mixture(ks, alphas, betas))
-    assert np.allclose(got, expected, rtol=1e-8)
+    assert np.allclose(got, expected, rtol=GLLH_RTOL, atol=GLLH_ATOL)
 
 
 def test_nan_sources_are_masked():
@@ -104,7 +110,7 @@ def test_llh_differentiable():
     g = jax.grad(f)(2.0)
     eps = 1e-4
     fd = (f(2.0 + eps) - f(2.0 - eps)) / (2 * eps)
-    assert np.isclose(float(g), float(fd), rtol=1e-3)
+    assert np.isclose(float(g), float(fd), rtol=1e-3 if _FP64 else 5e-2)
 
 
 def test_generalized_pg_llh_branching():

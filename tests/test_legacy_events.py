@@ -78,8 +78,11 @@ class TestEvents:
         assert isinstance(m, Map)
         fields = events["numu_cc"]
         in_range = (fields["true_energy"] >= 5) & (fields["true_energy"] <= 50)
+        from pisa_tpu import FTYPE
+
         np.testing.assert_allclose(
-            m.hist.sum(), fields["weights"][in_range].sum(), rtol=1e-12
+            m.hist.sum(), fields["weights"][in_range].sum(),
+            rtol=1e-12 if FTYPE == np.float64 else 1e-5,
         )
 
     def test_json_round_trip(self, events, tmp_path):

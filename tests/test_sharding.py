@@ -74,12 +74,19 @@ def test_sharded_gradient_matches(pipeline_pair):
     v0 = np.clip(ct_sh.current_rescaled_values() + 0.07, 0.01, 0.99)
     val_s, g_s = vg_sh(v0)
     i = 0
-    eps = 1e-5
+    # fp32 objective values quantize at ~1e-7 relative; widen the FD step
+    # and tolerance accordingly
+    from pisa_tpu import FTYPE
+
+    fp64 = FTYPE == np.float64
+    eps = 1e-5 if fp64 else 1e-3
     vp, vm = v0.copy(), v0.copy()
     vp[i] += eps
     vm[i] -= eps
     fd = (float(val_fn(vp)) - float(val_fn(vm))) / (2 * eps)
-    assert np.isclose(float(np.asarray(g_s)[i]), fd, rtol=1e-4)
+    assert np.isclose(
+        float(np.asarray(g_s)[i]), fd, rtol=1e-4 if fp64 else 3e-2
+    )
 
 
 def test_batched_objective_sharded_over_walkers(pipeline_pair):
