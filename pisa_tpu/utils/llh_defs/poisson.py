@@ -104,7 +104,9 @@ def generalized_pg_log_mixture(k, alphas, betas, mask=None, k_max=None):
     return log_prefac + jnp.log(jnp.clip(p_k, MIN_PROB, None))
 
 
-def generalized_pg_llh(actual, expected, empty_bins=None, k_max=None):
+def generalized_pg_llh(
+    actual, expected, empty_bins=None, k_max=None, use_c=False
+):
     """Per-bin generalized Poisson llh (cf. reference ``stats.py:792``).
 
     Parameters
@@ -115,6 +117,9 @@ def generalized_pg_llh(actual, expected, empty_bins=None, k_max=None):
         the ``likelihood.generalized_llh_params`` stage).
     empty_bins : optional (B,) bool — bins with no MC in any dataset;
         derived from n_mc_events when omitted.
+    use_c : bool — evaluate the mixture with the native C library
+        (host-side, not jittable/differentiable; cf. the reference's
+        ``stats.py:881`` ``use_c=True`` path). The JAX path is the default.
 
     Returns
     -------
@@ -148,9 +153,19 @@ def generalized_pg_llh(actual, expected, empty_bins=None, k_max=None):
     high_mc = jnp.all(n_mc > 100, axis=0)
 
     # low-statistics branch: the PG mixture
-    log_mix = generalized_pg_log_mixture(
-        k_int, alphas, betas, k_max=k_max
-    )
+    if use_c:
+        from pisa_tpu.utils.llh_defs.native import pg_log_mixture_c
+
+        log_mix = jnp.asarray(
+            pg_log_mixture_c(
+                np.asarray(k_int), np.asarray(alphas), np.asarray(betas)
+            ),
+            dtype=w_sum.dtype,
+        )
+    else:
+        log_mix = generalized_pg_log_mixture(
+            k_int, alphas, betas, k_max=k_max
+        )
 
     llh = jnp.where(high_mc, log_poisson, log_mix)
     # empty MC bins: heavily penalized if data present, ignored otherwise

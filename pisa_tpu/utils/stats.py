@@ -275,7 +275,9 @@ def conv_llh(actual, expected, variance=0.0, nsigma=3, steps=50):
     return out.reshape(a.shape)
 
 
-def generalized_poisson_llh(actual, expected=None, empty_bins=None, k_max=None):
+def generalized_poisson_llh(
+    actual, expected=None, empty_bins=None, k_max=None, use_c=False
+):
     """Generalized Poisson-gamma mixture llh (arXiv:1902.08831 eqs. 91/97;
     cf. reference ``stats.py:792`` + ``llh_defs/poisson_gamma.c``).
 
@@ -284,10 +286,11 @@ def generalized_poisson_llh(actual, expected=None, empty_bins=None, k_max=None):
     ``likelihood.generalized_llh_params`` stage: 'llh_alphas', 'llh_betas',
     'weights', 'n_mc_events' — each an array of shape (n_sources, n_bins).
     `k_max` (static recursion length >= max data count) is required when
-    `actual` is traced.
+    `actual` is traced. ``use_c=True`` evaluates the mixture with the
+    native C library (host-side; cf. the reference's ``stats.py:881``).
     """
     from pisa_tpu.utils.llh_defs.poisson import generalized_pg_llh
 
     return generalized_pg_llh(
-        actual, expected, empty_bins=empty_bins, k_max=k_max
+        actual, expected, empty_bins=empty_bins, k_max=k_max, use_c=use_c
     )

@@ -212,3 +212,57 @@ def test_stage_alpha_beta_computation():
     empty = n_mc == 0
     if empty.any():
         assert np.allclose(w[empty], 0.001)
+
+
+class TestNativeCMixture:
+    """The native C library (poisson_gamma.c, use_c=True — the host path
+    mirroring the reference's compiled extension) must agree with the JAX
+    recursion."""
+
+    def test_c_matches_jax_recursion(self):
+        from pisa_tpu.utils.llh_defs.native import available, pg_log_mixture_c
+        from pisa_tpu.utils.llh_defs.poisson import (
+            generalized_pg_log_mixture,
+        )
+
+        if not available():
+            pytest.skip("no C compiler / native lib")
+        rng = np.random.RandomState(4)
+        B, S = 40, 3
+        k = rng.randint(0, 30, B)
+        alphas = rng.uniform(0.5, 20.0, (B, S))
+        betas = rng.uniform(0.2, 5.0, (B, S))
+        # some masked sources (non-finite / non-positive beta)
+        alphas[3, 1] = np.nan
+        betas[7, 2] = 0.0
+        got = pg_log_mixture_c(k, alphas, betas)
+        want = np.asarray(
+            generalized_pg_log_mixture(
+                k, jnp.float64(1) * alphas, jnp.float64(1) * betas,
+                k_max=int(k.max()),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_use_c_path_through_stats(self):
+        from pisa_tpu.utils import stats
+        from pisa_tpu.utils.llh_defs.native import available
+
+        if not available():
+            pytest.skip("no C compiler / native lib")
+        rng = np.random.RandomState(5)
+        B, S = 12, 2
+        expected = {
+            "weights": rng.uniform(1, 5, (S, B)),
+            "llh_alphas": rng.uniform(1, 10, (S, B)),
+            "llh_betas": rng.uniform(0.5, 2, (S, B)),
+            "n_mc_events": np.full((S, B), 50.0),  # low-stat branch
+        }
+        k = rng.randint(0, 12, B)
+        via_c = np.asarray(
+            stats.generalized_poisson_llh(k, expected, use_c=True)
+        )
+        via_jax = np.asarray(
+            stats.generalized_poisson_llh(k, expected, k_max=int(k.max()))
+        )
+        np.testing.assert_allclose(via_c, via_jax, rtol=1e-6, atol=1e-6)
