@@ -65,10 +65,20 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     rng = np.random.RandomState(0)
     vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free))
 
+    # adaptive sizing: per-call latency through the remote-TPU tunnel can
+    # degrade by >10x during tunnel storms; probe one call and shrink the
+    # sample so the headline still prints within the driver budget
+    t_probe = time.time()
+    float(tot_fn(vecs[0], data))
+    probe = time.time() - t_probe
+    if probe > 0.3 and n_templates > 10:
+        vecs = vecs[:10]
+
     t0 = time.time()
     for v in vecs:
         float(tot_fn(v, data))  # materialize the scalar -> synchronization
     t1 = time.time()
+    n_templates = len(vecs)
     per_template = (t1 - t0) / n_templates
     return {
         "rate": 1.0 / per_template,
