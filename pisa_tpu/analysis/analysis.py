@@ -649,13 +649,14 @@ class BasicAnalysis:
             # scipy line searches silently give up at x0, and a 1e14 trial
             # value makes cubic interpolation pick alpha ~ f0/f1 ~ 1e-16 —
             # a zero step (cf. reference analysis.py:1917-1939, which also
-            # tolerates failed evaluations rather than aborting). Two-part
-            # fix: sanitize non-finite values, and minimize the MONOTONE
-            # transform sign(f)*log1p(|f|) with its exact gradient
-            # grad/(1+|f|) — same argmin, locally identical near f ~ 0,
-            # but corner blowups become interpolable. Raw values are kept
-            # in fit_history; metric_val is recomputed from the raw
-            # objective at the optimizer's solution.
+            # tolerates failed evaluations rather than aborting). Fix:
+            # sanitize non-finite values/gradients, and CAP blowup values at
+            # a generous multiple of the starting objective so backtracking
+            # interpolation picks a workable step. The objective scale seen
+            # by the optimizer is otherwise untouched, so user-supplied
+            # ftol/gtol keep their documented meaning.
+            cap = [None]  # set from the first (x0) evaluation
+
             def fun(x):
                 nonlocal counter
                 counter += 1
@@ -663,24 +664,18 @@ class BasicAnalysis:
                 val = float(val)
                 grad = np.asarray(grad, dtype=np.float64)
                 if not np.isfinite(val):
-                    val = 1e30
+                    val = np.inf
                 if not np.all(np.isfinite(grad)):
                     grad = np.where(np.isfinite(grad), grad, 0.0)
+                if cap[0] is None and np.isfinite(val):
+                    cap[0] = 1e4 * (abs(val) + 1.0)
+                if cap[0] is not None and val > cap[0]:
+                    val = cap[0]
                 fit_history.append([val] + list(np.asarray(x, dtype=float)))
-                tval = np.sign(val) * np.log1p(abs(val))
-                tgrad = grad / (1.0 + abs(val))
-                return float(tval), tgrad
+                return val, grad
 
-            # compressed values shrink relative reductions (d log1p(f) =
-            # df/(1+f)) and shrink GRADIENTS by the same 1/(1+|f|) factor —
-            # for llh-scale objectives (|f| ~ 1e4+) the scipy defaults
-            # (ftol ~ 2e-9 relative, l-bfgs-b gtol = 1e-5) would then stop
-            # orders of magnitude early; tighten both accordingly
-            if algo in ("l-bfgs-b", "slsqp", "trust-constr"):
-                options.setdefault("ftol", 1e-13)
             if algo == "l-bfgs-b":
                 options.setdefault("maxls", 50)
-                options.setdefault("gtol", 1e-12)
             jac = True
         else:
             def fun(x):
@@ -763,8 +758,8 @@ class BasicAnalysis:
         hypo_maker._set_rescaled_free_params(best_x)
 
         if vg is not None:
-            # opt_result.fun is in the compressed scale; report the raw
-            # objective at the solution
+            # report the exact objective at the solution (opt_result.fun
+            # may be the capped value if the optimizer ended on a blowup)
             raw_val, _ = vg(best_x)
             opt_result.fun = float(raw_val)
 
@@ -834,10 +829,11 @@ class BasicAnalysis:
             have_iminuit = False
 
         if have_iminuit:
-            return self._fit_iminuit_real(
+            result = self._fit_iminuit_real(
                 data_dist, hypo_maker, metric, external_priors_penalty,
                 kwargs, tol,
             )
+            return result
 
         fit_kwargs = {"method": "l-bfgs-b", "gradient": True}
         if tol is not None:
@@ -869,21 +865,46 @@ class BasicAnalysis:
         counter = Counter()
         fit_history = [["metric"] + list(free.names)]
         t_start = time.time()
+        maximize = stats.is_metric_to_maximize(metric_name)
+        penalty_sign = -1.0 if maximize else 1.0
 
         def fun(x):
-            return self._minimizer_callable(
+            val = self._minimizer_callable(
                 x, hypo_maker, data_dist, metric_name, counter, fit_history
             )
+            if external_priors_penalty is not None:
+                val = val + penalty_sign * external_priors_penalty(
+                    hypo_maker, metric_name
+                )
+            return val
 
         m = iminuit.Minuit(fun, x0)
         m.limits = [(0.0, 1.0)] * len(x0)
+        # errordef: the objective is -llh for llh-family metrics (0.5) and
+        # chi2 = -2 llh for chi2-family metrics (1.0)
+        m.errordef = (
+            iminuit.Minuit.LIKELIHOOD if maximize else iminuit.Minuit.LEAST_SQUARES
+        )
         if tol is not None:
             m.tol = tol
         m.migrad()
         m.hesse()
         best_x = np.clip(np.asarray(m.values, dtype=np.float64), 0, 1)
         hypo_maker._set_rescaled_free_params(best_x)
-        sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
+        sign = -1.0 if maximize else +1.0
+        # rescaled -> physical-unit errors (same convention as the native
+        # Hesse path: d(magnitude)/d(rescaled) per free param)
+        errors = {}
+        for i, p in enumerate(free):
+            lo = p.range[0].m_as(p.units)
+            hi = p.range[1].m_as(p.units)
+            if p.scales_as_log:
+                deriv = abs(
+                    p.value.m_as(p.units) * np.log(abs(hi) / abs(lo))
+                )
+            else:
+                deriv = hi - lo
+            errors[p.name] = float(m.errors[i]) * abs(deriv)
         result = HypoFitResult(
             metric=[metric_name],
             metric_val=sign * float(m.fval),
@@ -896,9 +917,7 @@ class BasicAnalysis:
                 "nit": int(m.nfcn),
                 "nfev": int(m.nfcn),
                 "method": "iminuit",
-                "hesse_errors": dict(
-                    zip(free.names, np.asarray(m.errors, dtype=float))
-                ),
+                "hesse_errors": errors,
             },
             fit_history=fit_history,
             counter=counter,
@@ -1004,21 +1023,70 @@ class BasicAnalysis:
             )
         scipy_method, use_grad = self._NLOPT_EQUIV[algo]
 
-        options = {}
-        if "maxeval" in kwargs:
-            options["maxiter"] = int(kwargs.pop("maxeval"))
-        if "ftol_abs" in kwargs:
-            options["fatol" if scipy_method == "nelder-mead" else "ftol"] = (
-                float(kwargs.pop("ftol_abs"))
-            )
-        if "ftol_rel" in kwargs:
-            options.setdefault("ftol", float(kwargs.pop("ftol_rel")))
-        if "xtol_rel" in kwargs:
-            options["xatol" if scipy_method == "nelder-mead" else "xtol"] = (
-                float(kwargs.pop("xtol_rel"))
-            )
-        kwargs.pop("ftol_abs", None)
+        # translate NLopt stopping criteria to the TARGET's own vocabulary:
+        # each scipy global driver takes different keyword names (shgo has
+        # no maxiter; differential_evolution uses tol not ftol; basinhopping
+        # counts hops via niter), and scipy.optimize.minimize option names
+        # differ per local method
+        maxeval = kwargs.pop("maxeval", None)
+        ftol_abs = kwargs.pop("ftol_abs", None)
+        ftol_rel = kwargs.pop("ftol_rel", None)
+        xtol_rel = kwargs.pop("xtol_rel", None)
         kwargs.pop("xtol_abs", None)
+
+        options = {}
+        if scipy_method == "nelder-mead":
+            if maxeval is not None:
+                options["maxfev"] = int(maxeval)
+            if ftol_abs is not None:
+                options["fatol"] = float(ftol_abs)
+            if xtol_rel is not None:
+                options["xatol"] = float(xtol_rel)
+        elif scipy_method == "cobyla":
+            if maxeval is not None:
+                options["maxiter"] = int(maxeval)
+            tol = ftol_abs if ftol_abs is not None else ftol_rel
+            if tol is not None:
+                options["tol"] = float(tol)
+        elif scipy_method == "powell":
+            if maxeval is not None:
+                options["maxfev"] = int(maxeval)
+            if ftol_rel is not None or ftol_abs is not None:
+                options["ftol"] = float(
+                    ftol_rel if ftol_rel is not None else ftol_abs
+                )
+            if xtol_rel is not None:
+                options["xtol"] = float(xtol_rel)
+        elif scipy_method in ("l-bfgs-b", "slsqp"):
+            if maxeval is not None:
+                options["maxiter"] = int(maxeval)
+            if ftol_abs is not None or ftol_rel is not None:
+                options["ftol"] = float(
+                    ftol_abs if ftol_abs is not None else ftol_rel
+                )
+            if scipy_method == "l-bfgs-b" and xtol_rel is not None:
+                options["gtol"] = float(xtol_rel)
+        elif scipy_method == "basinhopping":
+            if maxeval is not None:
+                # hops, each wrapping a full local fit
+                options["niter"] = max(1, int(maxeval) // 20)
+        elif scipy_method == "differential_evolution":
+            if maxeval is not None:
+                options["maxiter"] = int(maxeval)
+            tol = ftol_rel if ftol_rel is not None else ftol_abs
+            if tol is not None:
+                options["tol"] = float(tol)
+        elif scipy_method == "dual_annealing":
+            if maxeval is not None:
+                options["maxiter"] = int(maxeval)
+        elif scipy_method == "shgo":
+            inner = {}
+            if maxeval is not None:
+                inner["maxfev"] = int(maxeval)
+            if ftol_abs is not None:
+                inner["f_tol"] = float(ftol_abs)
+            if inner:
+                options["options"] = inner
 
         fit_kwargs = {"method": scipy_method, "gradient": use_grad}
         if options:

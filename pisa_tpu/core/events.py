@@ -233,6 +233,7 @@ class Events(FlavIntData):
             return self
         out = self.applyCut(" & ".join(f"({c})" for c in unapplied))
         out.metadata["cuts"] = deepcopy(current) + unapplied
+        out.update_hash()
         return out
 
 
@@ -459,6 +460,7 @@ class Data(FlavIntDataGroup):
             return self
         out = self.applyCut(" & ".join(f"({c})" for c in unapplied))
         out.metadata["cuts"] = deepcopy(current) + unapplied
+        out.update_hash()
         return out
 
     def __add__(self, other):

@@ -184,40 +184,44 @@ def make_events_file(
                     group, int_type,
                 )
                 continue
-            for fi in flavints:
-                sel_parts = []
-                for run in runs:
-                    data = per_run_data[run]
-                    if fi.flav not in run_settings[run].get_flavs():
-                        continue
-                    sel = data_proc_params.apply_cuts(
-                        data,
-                        [
-                            {
-                                "fields": ["nu_code"],
-                                "pass_if": f"nu_code == {fi.flav.code}",
-                            },
-                            str(fi.int_type),
-                        ],
-                    )
-                    sel_parts.append(sel)
-                if not sel_parts:
+            # pool ALL the group's flavors (this int type) into one sample
+            # and store it under EVERY member flavint — the reference's
+            # joined-group convention (Events.histogram reads one
+            # representative member, expecting it to hold the whole group;
+            # weighted_aeff is normalized by the pooled ngen accordingly)
+            group_codes = sorted({fi.flav.code for fi in flavints})
+            code_cut = " | ".join(f"(nu_code == {c})" for c in group_codes)
+            sel_parts = []
+            for run in runs:
+                data = per_run_data[run]
+                run_flavs = {f.code for f in run_settings[run].get_flavs()}
+                if not run_flavs & set(group_codes):
                     continue
-                fields = set(sel_parts[0].keys())
-                for p in sel_parts[1:]:
-                    fields &= set(p.keys())
-                merged = {
-                    f: np.concatenate([np.asarray(p[f]) for p in sel_parts])
-                    for f in fields
-                }
-                merged["weighted_aeff"] = (
-                    np.asarray(merged["one_weight"], dtype=np.float64)
-                    / ngen
+                sel = data_proc_params.apply_cuts(
+                    data,
+                    [
+                        {"fields": ["nu_code"], "pass_if": code_cut},
+                        str(int_type),
+                    ],
                 )
-                if output_fields:
-                    merged = {
-                        k: v for k, v in merged.items() if k in output_fields
-                    }
+                sel_parts.append(sel)
+            if not sel_parts:
+                continue
+            fields = set(sel_parts[0].keys())
+            for p in sel_parts[1:]:
+                fields &= set(p.keys())
+            merged = {
+                f: np.concatenate([np.asarray(p[f]) for p in sel_parts])
+                for f in fields
+            }
+            merged["weighted_aeff"] = (
+                np.asarray(merged["one_weight"], dtype=np.float64) / ngen
+            )
+            if output_fields:
+                merged = {
+                    k: v for k, v in merged.items() if k in output_fields
+                }
+            for fi in flavints:
                 evts[fi] = merged
 
     evts.update_hash()

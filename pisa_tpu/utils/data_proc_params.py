@@ -158,8 +158,9 @@ class DataProcParams(dict):
 
     @staticmethod
     def retrieve_expression(source, expression):
-        """Evaluate an expression whose identifiers are '/'-separated node
-        paths (cf. reference :348); plain paths are returned directly."""
+        """Evaluate an expression whose identifiers are node paths —
+        '/'-separated or root-level dataset names (cf. reference :348);
+        plain paths are returned directly."""
         import re
 
         tokens = re.findall(r"[A-Za-z_][\w/]*", str(expression))
@@ -168,11 +169,21 @@ class DataProcParams(dict):
         ns = {"np": np, "numpy": np, "pi": np.pi}
         expr = str(expression)
         for i, tok in enumerate(sorted(set(tokens), key=len, reverse=True)):
-            if tok in ("np", "numpy", "pi") or "/" not in tok:
+            if tok in ns:
+                continue
+            try:
+                value = _node(source, tok)
+            except (KeyError, TypeError):
+                # not a node (e.g. an attribute name like 'cos' in
+                # 'np.cos(...)'); leave it for eval to resolve or reject
                 continue
             name = f"_f{i}"
-            ns[name] = _node(source, tok)
-            expr = expr.replace(tok, name)
+            ns[name] = value
+            # substitute whole identifiers only (no partial-token or
+            # attribute-access matches)
+            expr = re.sub(
+                rf"(?<![\w.]){re.escape(tok)}(?![\w])", name, expr
+            )
         return np.asarray(
             eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 - restricted
         )

@@ -317,3 +317,44 @@ class TestMinimizerSettingsFiles:
         )
         assert result.metric_val < 1.0
         assert result.minimizer_metadata["method"] in ("l-bfgs-b", "slsqp")
+
+
+class TestNloptGlobalEquivalents:
+    """The NLopt->scipy GLOBAL translations previously crashed with
+    TypeError (shgo has no maxiter kwarg; differential_evolution takes tol
+    not ftol; basinhopping counts niter): each global family must at least
+    run to completion with translated stopping criteria."""
+
+    @pytest.mark.parametrize(
+        "algo,kwargs",
+        [
+            ("GN_DIRECT", {"maxeval": 25, "ftol_abs": 1e-3}),
+            ("GN_CRS2_LM", {"maxeval": 2, "ftol_rel": 1e-2}),
+            ("G_MLSL", {"maxeval": 20}),
+        ],
+    )
+    def test_runs(self, hypo_maker, asimov_data, algo, kwargs):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 43.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {"algorithm": algo, **kwargs}, None,
+        )
+        assert np.isfinite(result.metric_val)
+
+
+class TestTrustConstrGradient:
+    """trust-constr through the compiled-gradient path previously crashed
+    (a blanket ftol option injected into a method that rejects it)."""
+
+    def test_runs_and_recovers(self, hypo_maker, asimov_data, truth):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 43.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "gradient",
+            {"method": "trust-constr", "options": {"maxiter": 100}}, None,
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 1.0, fit_t23

@@ -176,11 +176,17 @@ class TestMakeEventsFile:
         np.testing.assert_allclose(
             d["weighted_aeff"], d["one_weight"] / ngen_joined
         )
-        # NC stays unjoined: per-flavor ngen
+        # joined-group convention: every member holds the POOLED sample
+        # (reference Events.histogram reads one representative member)
+        np.testing.assert_array_equal(
+            d["true_energy"], evts["numubar_cc"]["true_energy"]
+        )
+        # NC stays unjoined: per-flavor ngen, per-flavor (disjoint) samples
         d_nc = evts["numu_nc"]
         np.testing.assert_allclose(
             d_nc["weighted_aeff"], d_nc["one_weight"] / (ngen_joined / 2)
         )
+        assert len(d_nc["true_energy"]) < len(d["true_energy"])
         # analysis cut applied
         assert (d["reco_energy"] > 2).all()
         assert evts.metadata["cuts"] == ["analysis"]
