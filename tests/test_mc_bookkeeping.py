@@ -225,3 +225,38 @@ class TestAddFluxToEventsFile:
         assert "nominal_numu_flux" not in back["muons"]
         # idempotent without overwrite
         assert add_fluxes_to_file(src, table, "nominal") == out
+
+
+class TestRetrieveExpression:
+    """field_map entries may be expressions over node paths OR root-level
+    dataset names (previously any expression referencing a root dataset
+    raised NameError)."""
+
+    def test_expression_over_root_dataset(self, tmp_path):
+        import h5py
+
+        path = str(tmp_path / "root.h5")
+        z = np.linspace(0, np.pi, 50)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("zenith", data=z)
+            f.create_dataset("true_zenith", data=z + 0.1)
+        with h5py.File(path, "r") as f:
+            got = DataProcParams.retrieve_expression(f, "np.cos(zenith)")
+            np.testing.assert_allclose(got, np.cos(z))
+            # whole-identifier substitution: 'zenith' must not clobber
+            # 'true_zenith'
+            got2 = DataProcParams.retrieve_expression(
+                f, "np.cos(true_zenith) + np.sin(zenith)"
+            )
+            np.testing.assert_allclose(got2, np.cos(z + 0.1) + np.sin(z))
+
+    def test_expression_over_paths(self, tmp_path):
+        import h5py
+
+        path = str(tmp_path / "deep.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("a/x", data=np.arange(4.0))
+            f.create_dataset("b/y", data=np.ones(4))
+        with h5py.File(path, "r") as f:
+            got = DataProcParams.retrieve_expression(f, "a/x * 2 + b/y")
+            np.testing.assert_allclose(got, np.arange(4.0) * 2 + 1)
