@@ -57,6 +57,7 @@ GLOBAL_SCIPY_METHODS = (
     "differential_evolution",
     "dual_annealing",
     "shgo",
+    "direct",
 )
 GRADIENT_METHODS = ("l-bfgs-b", "slsqp", "trust-constr")
 
@@ -703,6 +704,9 @@ class BasicAnalysis:
                 take_step = BoundedRandomDisplacement(
                     stepsize=options.pop("stepsize", 0.5)
                 )
+                local_options = options.pop("minimizer_options", None)
+                if local_options:
+                    minimizer_kwargs["options"] = dict(local_options)
                 opt_result = spo.basinhopping(
                     fun,
                     x0,
@@ -711,10 +715,24 @@ class BasicAnalysis:
                     **options,
                 )
             elif algo == "differential_evolution":
+                # an NLopt-style total-evaluation budget (maxeval) becomes a
+                # generation cap: each generation costs popsize*n_params
+                # evaluations, and polishing (a numeric-gradient L-BFGS-B)
+                # is skipped under tight budgets so the cap is honored
+                maxeval_budget = options.pop("_maxeval_budget", None)
+                polish = options.pop("polish", True)
+                if maxeval_budget is not None:
+                    popsize = int(options.get("popsize", 15))
+                    per_gen = max(1, popsize * len(x0))
+                    options["maxiter"] = max(
+                        1, int(maxeval_budget) // per_gen
+                    )
+                    if int(maxeval_budget) < 10 * per_gen:
+                        polish = False
                 opt_result = spo.differential_evolution(
                     (lambda x: fun(x)[0]) if jac else fun,
                     bounds=bounds,
-                    polish=True,
+                    polish=polish,
                     **options,
                 )
             elif algo == "dual_annealing":
@@ -725,6 +743,14 @@ class BasicAnalysis:
                 )
             elif algo == "shgo":
                 opt_result = spo.shgo(
+                    (lambda x: fun(x)[0]) if jac else fun,
+                    bounds=bounds,
+                    **options,
+                )
+            elif algo == "direct":
+                # scipy's DIRECT is the same algorithm as NLopt GN_DIRECT;
+                # maxfun is a hard cap on objective evaluations
+                opt_result = spo.direct(
                     (lambda x: fun(x)[0]) if jac else fun,
                     bounds=bounds,
                     **options,
@@ -977,8 +1003,8 @@ class BasicAnalysis:
         "LD_LBFGS": ("l-bfgs-b", True),
         "LD_SLSQP": ("slsqp", True),
         "LD_MMA": ("l-bfgs-b", True),
-        "GN_DIRECT": ("shgo", False),
-        "GN_DIRECT_L": ("shgo", False),
+        "GN_DIRECT": ("direct", False),
+        "GN_DIRECT_L": ("direct", False),
         "GN_CRS2_LM": ("differential_evolution", False),
         "GN_ESCH": ("differential_evolution", False),
         "GN_ISRES": ("differential_evolution", False),
@@ -1068,11 +1094,18 @@ class BasicAnalysis:
                 options["gtol"] = float(xtol_rel)
         elif scipy_method == "basinhopping":
             if maxeval is not None:
-                # hops, each wrapping a full local fit
+                # hops, each wrapping a full local fit; also cap each local
+                # fit's iterations so the NLopt-style total budget holds
                 options["niter"] = max(1, int(maxeval) // 20)
+                options["minimizer_options"] = {
+                    "maxiter": max(5, int(maxeval) // (options["niter"] + 1))
+                }
         elif scipy_method == "differential_evolution":
             if maxeval is not None:
-                options["maxiter"] = int(maxeval)
+                # NLopt maxeval is a TOTAL evaluation budget; _fit_scipy
+                # converts it to a generation cap (popsize*n_params per
+                # generation) and disables polishing under tight budgets
+                options["_maxeval_budget"] = int(maxeval)
             tol = ftol_rel if ftol_rel is not None else ftol_abs
             if tol is not None:
                 options["tol"] = float(tol)
@@ -1087,6 +1120,16 @@ class BasicAnalysis:
                 inner["f_tol"] = float(ftol_abs)
             if inner:
                 options["options"] = inner
+        elif scipy_method == "direct":
+            # same DIRECT algorithm in scipy: maxfun is a hard evaluation
+            # cap (NLopt maxeval semantics); *_L variants are the
+            # locally-biased flavor
+            if maxeval is not None:
+                options["maxfun"] = int(maxeval)
+            options["locally_biased"] = algo.endswith("_L")
+            tol = ftol_rel if ftol_rel is not None else ftol_abs
+            if tol is not None:
+                options["f_min_rtol"] = float(max(tol, 1e-12))
 
         fit_kwargs = {"method": scipy_method, "gradient": use_grad}
         if options:
