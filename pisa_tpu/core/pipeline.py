@@ -393,6 +393,61 @@ class Pipeline:
                     if times:
                         print(f"    {label}: {self._format_times(times)}")
 
+    # -- notebook display --------------------------------------------------------
+    def _stage_table_rows(self):
+        """(headers, rows) describing each stage (cf. reference
+        ``pipeline.py:138-146`` ``tabulate``)."""
+        headers = [
+            "stage number",
+            "name",
+            "calc_mode",
+            "apply_mode",
+            "# fixed params",
+            "# free params",
+        ]
+        rows = []
+        for i, s in enumerate(self.stages):
+            rows.append(
+                [
+                    str(i),
+                    f"{s.stage_name}.{s.service_name}",
+                    str(getattr(s, "calc_mode", None)),
+                    str(getattr(s, "apply_mode", None)),
+                    str(len(s.params.fixed)),
+                    str(len(s.params.free)),
+                ]
+            )
+        return headers, rows
+
+    def tabulate(self, tablefmt="plain"):
+        """Plain-text ('plain'/'presto') or 'html' table of the pipeline's
+        stages (cf. reference ``pipeline.py:138``)."""
+        headers, rows = self._stage_table_rows()
+        if tablefmt == "html":
+            cells = "".join(f"<th>{h}</th>" for h in headers)
+            body = "".join(
+                "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                for row in rows
+            )
+            return (
+                f"<table><thead><tr>{cells}</tr></thead>"
+                f"<tbody>{body}</tbody></table>"
+            )
+        widths = [
+            max(len(h), *(len(r[j]) for r in rows)) if rows else len(h)
+            for j, h in enumerate(headers)
+        ]
+        sep = " | " if tablefmt == "presto" else "  "
+        lines = [sep.join(h.ljust(w) for h, w in zip(headers, widths))]
+        if tablefmt == "presto":
+            lines.append("-+-".join("-" * w for w in widths))
+        for row in rows:
+            lines.append(sep.join(c.ljust(w) for c, w in zip(row, widths)))
+        return "\n".join(lines)
+
+    def _repr_html_(self):
+        return self.tabulate(tablefmt="html")
+
     def __str__(self):
         stages = " -> ".join(str(s) for s in self.stages)
         return f"Pipeline('{self.name}': {stages})"

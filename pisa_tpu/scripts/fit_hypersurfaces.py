@@ -65,16 +65,79 @@ def fit_hypersurfaces_from_pipeline(
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("fit_cfg", help="JSON fit configuration (see docstring)")
-    parser.add_argument("-o", "--outfile", required=True)
+    parser.add_argument(
+        "fit_cfg", nargs="?", help="JSON fit configuration (see docstring)"
+    )
+    parser.add_argument("-o", "--outfile")
     parser.add_argument("-v", "--verbose", action="count", default=0)
+    # interpolated-fit job workflow (cf. reference hyper_interpolator.py:
+    # prepare_interpolated_fit/run_interpolated_fit/assemble_interpolated_fits)
+    parser.add_argument(
+        "--fit-directory",
+        help="directory for per-gridpoint interpolated-fit jobs",
+    )
+    parser.add_argument(
+        "--prepare",
+        action="store_true",
+        help="lay out metadata + gridpoint files; fit_cfg must contain an"
+        " 'interpolation_param_spec' section",
+    )
+    parser.add_argument(
+        "--run-job", type=int, default=None, metavar="IDX",
+        help="run the fit for one grid point (job-array entry point)",
+    )
+    parser.add_argument(
+        "--skip-successful", action="store_true",
+        help="with --run-job: no-op if the job already succeeded (resume)",
+    )
+    parser.add_argument(
+        "--assemble", action="store_true",
+        help="combine all finished gridpoint fits into --outfile",
+    )
+    parser.add_argument(
+        "--incomplete", action="store_true",
+        help="print indices of unfinished jobs and exit",
+    )
     args = parser.parse_args(argv)
 
     from pisa_tpu.utils.fileio import from_file
-    from pisa_tpu.utils.hypersurface import save_hypersurfaces
+    from pisa_tpu.utils.hypersurface import (
+        assemble_interpolated_fits,
+        get_incomplete_job_idx,
+        prepare_interpolated_fit,
+        run_interpolated_fit,
+        save_hypersurfaces,
+    )
     from pisa_tpu.utils.log import set_verbosity
 
     set_verbosity(args.verbose)
+
+    if args.prepare or args.run_job is not None or args.assemble or (
+        args.incomplete
+    ):
+        if not args.fit_directory:
+            parser.error("job workflow requires --fit-directory")
+        if args.prepare:
+            cfg = from_file(args.fit_cfg)
+            spec = cfg.pop("interpolation_param_spec")
+            n = prepare_interpolated_fit(args.fit_directory, spec, cfg)
+            print(f"prepared {n} jobs in {args.fit_directory}")
+        if args.run_job is not None:
+            run_interpolated_fit(
+                args.fit_directory, args.run_job,
+                skip_successful=args.skip_successful,
+            )
+        if args.incomplete:
+            print(get_incomplete_job_idx(args.fit_directory))
+        if args.assemble:
+            if not args.outfile:
+                parser.error("--assemble requires --outfile")
+            assemble_interpolated_fits(args.fit_directory, args.outfile)
+            print(f"assembled -> {args.outfile}")
+        return 0
+
+    if not args.fit_cfg or not args.outfile:
+        parser.error("single fit requires fit_cfg and --outfile")
     cfg = from_file(args.fit_cfg)
     surfaces = fit_hypersurfaces_from_pipeline(
         pipeline_cfg=cfg["pipeline_cfg"],

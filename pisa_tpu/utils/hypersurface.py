@@ -40,6 +40,10 @@ __all__ = [
     "Hypersurface",
     "fit_hypersurfaces_from_maps",
     "load_hypersurfaces",
+    "prepare_interpolated_fit",
+    "run_interpolated_fit",
+    "get_incomplete_job_idx",
+    "assemble_interpolated_fits",
 ]
 
 
@@ -630,3 +634,212 @@ def load_interpolated_hypersurfaces(input_file, expected_binning=None):
             raise ValueError("binning mismatch in interpolated hypersurfaces")
         out[name] = interp
     return out
+
+
+# -- interpolated-fit job splitting / resume ----------------------------------
+# Cluster workflow matching the reference's re-entrant batch fits
+# (``hyper_interpolator.py:761`` prepare_interpolated_fit, ``:618``
+# run_interpolated_fit incl. skip_successful resume, ``:598``
+# get_incomplete_job_idx, ``:549`` assemble_interpolated_fits): one fit
+# directory holds a metadata file plus one gridpoint file per interpolation
+# grid point; jobs can run anywhere (job arrays), crash-resume by index, and
+# the assembled output loads via :func:`load_interpolated_hypersurfaces`.
+
+def _grid_shape(interpolation_param_spec):
+    return tuple(
+        len(spec["values"]) for spec in interpolation_param_spec.values()
+    )
+
+
+def _gridpoint_path(fit_directory, job_idx):
+    import os
+
+    return os.path.join(fit_directory, f"gridpoint_{job_idx:06d}.json.bz2")
+
+
+def prepare_interpolated_fit(
+    fit_directory, interpolation_param_spec, fit_cfg
+):
+    """Lay out a fit directory for per-gridpoint (cluster) execution.
+
+    Parameters
+    ----------
+    fit_directory : str
+        created if missing; receives ``metadata.json`` and one
+        ``gridpoint_NNNNNN.json.bz2`` (``fit_successful=False``) per point.
+    interpolation_param_spec : ordered dict
+        ``{name: {"values": [...], "scales_log": bool}}`` — pipeline params
+        the hypersurfaces are interpolated over (e.g. ``deltam31``).
+    fit_cfg : dict
+        the single-point fit configuration consumed by
+        ``scripts.fit_hypersurfaces`` (pipeline_cfg, params,
+        nominal_dataset/sys_datasets param_values, combine_regex, log, norm).
+
+    Returns the number of jobs (grid points).
+    """
+    import os
+
+    os.makedirs(fit_directory, exist_ok=True)
+    spec = OrderedDict(
+        (
+            name,
+            {
+                "values": [
+                    float(getattr(v, "magnitude", v)) for v in s["values"]
+                ],
+                "scales_log": bool(s.get("scales_log", False)),
+            },
+        )
+        for name, s in interpolation_param_spec.items()
+    )
+    grid_shape = _grid_shape(spec)
+    metadata = {
+        "interpolation_param_spec": spec,
+        "interpolation_param_names": list(spec.keys()),
+        "grid_shape": list(grid_shape),
+        "fit_cfg": fit_cfg,
+    }
+    to_json(metadata, os.path.join(fit_directory, "metadata.json"))
+
+    names = list(spec.keys())
+    n_jobs = 0
+    for job_idx, grid_idx in enumerate(np.ndindex(grid_shape)):
+        param_values = {
+            n: spec[n]["values"][i] for n, i in zip(names, grid_idx)
+        }
+        to_json(
+            {
+                "job_idx": job_idx,
+                "grid_idx": list(grid_idx),
+                "param_values": param_values,
+                "fit_successful": False,
+                "hs_fit": None,
+            },
+            _gridpoint_path(fit_directory, job_idx),
+        )
+        n_jobs += 1
+    logging.info(
+        "prepared %d interpolated-fit jobs in %s", n_jobs, fit_directory
+    )
+    return n_jobs
+
+
+def run_interpolated_fit(fit_directory, job_idx, skip_successful=False):
+    """Fit hypersurfaces at one grid point and store the result.
+
+    With ``skip_successful=True`` a completed job is a no-op, so failed job
+    arrays can simply be resubmitted over the full index range."""
+    import os
+
+    gridpoint_path = _gridpoint_path(fit_directory, job_idx)
+    gridpoint = from_json(gridpoint_path)
+    if skip_successful and gridpoint.get("fit_successful"):
+        logging.info("job %d already successful; skipping", job_idx)
+        return
+
+    metadata = from_json(os.path.join(fit_directory, "metadata.json"))
+    fit_cfg = metadata["fit_cfg"]
+    param_values = gridpoint["param_values"]
+
+    # consistency: stored values must match the grid point's coordinates
+    spec = metadata["interpolation_param_spec"]
+    grid_idx = tuple(gridpoint["grid_idx"])
+    for i, n in enumerate(metadata["interpolation_param_names"]):
+        expect = spec[n]["values"][grid_idx[i]]
+        if not np.isclose(param_values[n], expect):
+            raise ValueError(
+                f"inconsistent values at grid point {grid_idx}: "
+                f"{param_values[n]} != {expect}"
+            )
+
+    from pisa_tpu.scripts.fit_hypersurfaces import (
+        fit_hypersurfaces_from_pipeline,
+    )
+
+    # interpolation-param values override every dataset's param_values
+    nominal = dict(fit_cfg["nominal_dataset"]["param_values"])
+    nominal.update(param_values)
+    sys_values = []
+    for d in fit_cfg["sys_datasets"]:
+        pv = dict(d["param_values"])
+        pv.update(param_values)
+        sys_values.append(pv)
+
+    surfaces = fit_hypersurfaces_from_pipeline(
+        pipeline_cfg=fit_cfg["pipeline_cfg"],
+        params=fit_cfg["params"],
+        nominal_param_values=nominal,
+        sys_param_values=sys_values,
+        combine_regex=fit_cfg.get("combine_regex"),
+        log=fit_cfg.get("log", False),
+        norm=fit_cfg.get("norm", True),
+    )
+    gridpoint["hs_fit"] = {k: hs.state for k, hs in surfaces.items()}
+    gridpoint["fit_successful"] = True
+    to_json(gridpoint, gridpoint_path)
+    logging.info("job %d fit complete", job_idx)
+
+
+def get_incomplete_job_idx(fit_directory):
+    """Indices of grid points not yet flagged fit_successful
+    (cf. reference ``hyper_interpolator.py:598``)."""
+    import os
+
+    metadata = from_json(os.path.join(fit_directory, "metadata.json"))
+    incomplete = []
+    for job_idx in range(int(np.prod(metadata["grid_shape"]))):
+        try:
+            gridpoint = from_json(_gridpoint_path(fit_directory, job_idx))
+        except Exception:
+            incomplete.append(job_idx)
+            continue
+        if not gridpoint.get("fit_successful"):
+            incomplete.append(job_idx)
+    return incomplete
+
+
+def assemble_interpolated_fits(
+    fit_directory, output_file, drop_fit_maps=False
+):
+    """Combine completed gridpoint fits into one file loadable by
+    :func:`load_interpolated_hypersurfaces`
+    (cf. reference ``hyper_interpolator.py:549``). ``drop_fit_maps`` is
+    accepted for API parity (our states do not embed fit maps)."""
+    import os
+
+    metadata = from_json(os.path.join(fit_directory, "metadata.json"))
+    spec = metadata["interpolation_param_spec"]
+    grid_shape = tuple(metadata["grid_shape"])
+
+    per_map = None
+    for job_idx, grid_idx in enumerate(np.ndindex(grid_shape)):
+        gridpoint = from_json(_gridpoint_path(fit_directory, job_idx))
+        if gridpoint["job_idx"] != job_idx or tuple(
+            gridpoint["grid_idx"]
+        ) != tuple(grid_idx):
+            raise ValueError(f"corrupt gridpoint file for job {job_idx}")
+        if not gridpoint.get("fit_successful"):
+            raise ValueError(
+                f"job {job_idx} not finished; rerun it via"
+                " run_interpolated_fit(..., skip_successful=True)"
+            )
+        if per_map is None:
+            per_map = OrderedDict(
+                (name, []) for name in gridpoint["hs_fit"]
+            )
+        for name, hs_state in gridpoint["hs_fit"].items():
+            per_map[name].append(hs_state)
+
+    out = OrderedDict(
+        (
+            name,
+            {"interp_param_spec": spec, "hs_fits": states},
+        )
+        for name, states in per_map.items()
+    )
+    to_json(out, output_file)
+    logging.info(
+        "assembled %d gridpoint fits -> %s",
+        int(np.prod(grid_shape)),
+        output_file,
+    )

@@ -34,7 +34,7 @@ class TestOscExamplePipeline:
         maps = osc_pipeline.get_outputs()
         assert len(maps) == 12
         numu = maps["numu_cc"].hist
-        assert numu.shape == (40, 40)
+        assert numu.shape == (24, 24)
         # toy flux is (0, 1): weights = P(numu -> flav); unitarity across flavors
         tot = (
             maps["nue_cc"].hist + maps["numu_cc"].hist + maps["nutau_cc"].hist
@@ -44,7 +44,7 @@ class TestOscExamplePipeline:
             tot, 1.0, atol=1e-10 if FTYPE == np.float64 else 2e-4
         )
         # strong disappearance dip at upgoing ~25 GeV
-        E = np.logspace(0, 3, 51)
+        E = np.logspace(0, 3, numu.shape[0] + 1)
         Ec = np.sqrt(E[:-1] * E[1:])
         dip_E = Ec[np.argmin(numu[:, 0])]
         assert 8 < dip_E < 40, dip_E  # first or second osc minimum (coarse grid)
@@ -144,3 +144,18 @@ class TestKdePipeline:
         assert np.isclose(tot_kde, tot_hist, rtol=0.25)
         for m in out_kde:
             assert np.all(np.asarray(m.hist) >= 0)
+
+
+class TestTabulate:
+    """Notebook display helpers (cf. reference ``pipeline.py:132-146``)."""
+
+    def test_tabulate_plain_presto_html(self, osc_pipeline):
+        p = osc_pipeline
+        plain = p.tabulate()
+        assert "stage number" in plain and "data.toy_event_generator" in plain
+        presto = p.tabulate(tablefmt="presto")
+        assert " | " in presto and "-+-" in presto
+        html = p._repr_html_()
+        assert html.startswith("<table>") and "osc.prob3" in html
+        # one row per stage
+        assert html.count("<tr>") == 1 + len(p.stages)
