@@ -21,6 +21,7 @@ import numpy as np
 from pisa_tpu import FTYPE, HASH_SIGFIGS
 from pisa_tpu.core.binning import MultiDimBinning, OneDimBinning
 from pisa_tpu.utils import stats
+from pisa_tpu.utils.format import make_valid_python_name
 from pisa_tpu.utils.hash import hash_obj
 from pisa_tpu.utils.random_numbers import get_random_state
 
@@ -727,9 +728,22 @@ class MapSet:
             total = matches[0]
             for m in matches[1:]:
                 total = total + m
+            # name as the reference does (``map.py:2515-2528``): a canonical
+            # flavint-group name when all matched names parse, else the
+            # sanitized wildcard
+            try:
+                from pisa_tpu.utils.flavint import NuFlavIntGroup
+
+                new_name = make_valid_python_name(
+                    str(NuFlavIntGroup([m.name for m in matches]))
+                )
+            except Exception:
+                new_name = make_valid_python_name(wc) or "combined"
+            if len(matches) == 1:
+                new_name = matches[0].name
             out.append(
                 Map(
-                    name=wc.replace("*", "all").replace("?", "x"),
+                    name=new_name,
                     hist=total.hist,
                     binning=total.binning,
                     variance=total.variance,

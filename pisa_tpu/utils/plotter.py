@@ -102,8 +102,14 @@ class Plotter:
         x = np.asarray(binning[binning.names[0]].bin_edges.magnitude)
         y = np.asarray(binning[binning.names[1]].bin_edges.magnitude)
 
+        user_vmin = kw.pop("vmin", None)
+        user_vmax = kw.pop("vmax", None)
         vmax = np.nanmax(np.abs(hist)) if hist.size else 1.0
-        if self.symmetric:
+        if user_vmin is not None or user_vmax is not None:
+            norm = Normalize(vmin=user_vmin, vmax=user_vmax)
+            if self.symmetric:
+                cmap = kw.pop("cmap", "RdBu_r")
+        elif self.symmetric:
             norm = Normalize(vmin=-vmax, vmax=vmax)
             cmap = kw.pop("cmap", "RdBu_r")
         elif self.log and np.all(hist >= 0) and np.nanmax(hist) > 0:
