@@ -7,8 +7,18 @@ Mirrors the reference's benchmark procedure
 N randomized-parameter templates, excluding the first (compile) call, and
 report the mean rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline metric (IceCube-3y templates/s); secondary metrics go to stderr.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}
+for the headline metric (IceCube-3y templates/s); secondary metrics go to
+stderr.
+
+Structure: the top-level process is a thin orchestrator that runs the actual
+measurement in a child process under a hard deadline. Device calls through
+the remote-TPU tunnel can hang indefinitely during tunnel outages (observed:
+a previous driver run printed nothing for >9 minutes and was killed at
+rc=124), and a hung XLA call cannot be interrupted by signals from within
+the same process. If the accelerator leg times out or crashes, the
+orchestrator re-runs the identical measurement on CPU so a real number is
+always recorded within the budget.
 
 Baselines (see BASELINE_MEASURED.md for procedure): the reference cannot run
 here (numba is not installed), so the baseline is this framework's own eager
@@ -20,10 +30,23 @@ on this machine (1 vCPU) and pinned below.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# A site hook re-appends the experimental 'axon' TPU plugin to jax_platforms
+# regardless of the JAX_PLATFORMS env var; when a platform was explicitly
+# requested (the orchestrator's CPU-fallback leg sets JAX_PLATFORMS=cpu),
+# honor it via the config API before any backend initializes (same
+# workaround as tests/conftest.py and __graft_entry__.py).
+_requested_platform = os.environ.get("JAX_PLATFORMS")
+if _requested_platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _requested_platform)
 
 # Eager CPU fp64 per-stage evaluation rates measured on this machine
 # (1 vCPU), 10 randomized templates excluding the first; see
@@ -34,6 +57,35 @@ CPU_BASELINE = {
 }
 
 N_TEMPLATES = 50
+
+# Overall wall-clock budget for the whole bench (orchestrator enforces it on
+# children); the driver's own timeout is believed to be ~9.5 min, so leave
+# margin for interpreter startup and fallback.
+DEADLINE_S = float(os.environ.get("PISA_TPU_BENCH_DEADLINE", 460))
+_T_START = time.time()
+
+
+def _remaining():
+    return DEADLINE_S - (time.time() - _T_START)
+
+
+def _log(msg):
+    print(f"# bench[{time.time() - _T_START:6.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _retry_transient(f, tries=3, label=""):
+    """Retry a device computation on transient backend errors (the axon
+    tunnel intermittently raises FAILED_PRECONDITION on an otherwise
+    healthy program; observed 2026-08-17)."""
+    for attempt in range(tries):
+        try:
+            return f()
+        except Exception as exc:  # jax.errors.JaxRuntimeError et al.
+            if attempt == tries - 1:
+                raise
+            _log(f"transient error in {label} (retrying): {exc!r:.120}")
+            time.sleep(2.0)
 
 
 def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
@@ -47,6 +99,7 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     ct = pipeline.compile()
     v0 = ct.current_rescaled_values()
     n_free = len(v0)
+    _log(f"{cfg}: setup done, {n_free} free params")
 
     # scalar-reduced template: forces completion per evaluation (the axon
     # backend's block_until_ready does not actually synchronize; only host
@@ -59,8 +112,9 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     )
     data = ct._data_vals
 
-    float(tot_fn(v0, data))  # compile (excluded)
+    _retry_transient(lambda: float(tot_fn(v0, data)), label="compile")
     t_compiled = time.time()
+    _log(f"{cfg}: first call done ({t_compiled - t_setup:.1f}s)")
 
     rng = np.random.RandomState(0)
     vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free))
@@ -69,7 +123,7 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     # degrade by >10x during tunnel storms; probe one call and shrink the
     # sample so the headline still prints within the driver budget
     t_probe = time.time()
-    float(tot_fn(vecs[0], data))
+    _retry_transient(lambda: float(tot_fn(vecs[0], data)), label="probe")
     probe = time.time() - t_probe
     if probe > 0.3 and n_templates > 10:
         vecs = vecs[:10]
@@ -88,11 +142,10 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     }
 
 
-def main():
+def _worker_headline():
+    """Measure the flagship pipeline; print the ONE stdout JSON line."""
     import jax
 
-    # headline: flagship IceCube 3-year pipeline (csv events -> honda flux ->
-    # barr -> prob3 -> aeff -> hist -> hypersurfaces)
     r3y = _bench_pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
     result = {
         "metric": "icecube_3y_templates_per_sec",
@@ -101,6 +154,7 @@ def main():
         "vs_baseline": round(r3y["rate"] / CPU_BASELINE["icecube_3y"], 2),
     }
     print(json.dumps(result))
+    sys.stdout.flush()
     print(
         f"# icecube_3y: setup+compile {r3y['setup_compile_s']:.1f}s;"
         f" {r3y['ms_per_template']:.1f} ms/template; {r3y['n_free']} free"
@@ -108,27 +162,32 @@ def main():
         file=sys.stderr,
     )
 
+
+def _worker_secondary():
+    """Batched/in-device rates + the oscillogram pipeline (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pisa_tpu.core.pipeline import Pipeline
+
     # batched evaluation (the scan/MCMC access pattern): vmap over many
     # parameter vectors per device call amortizes the per-call dispatch
     # latency (~35 ms through the axon tunnel on this setup)
     try:
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        from pisa_tpu.core.pipeline import Pipeline as _Pipeline
-
-        p = _Pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
+        p = Pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
         ct = p.compile()
         fn = ct._build_fn()
-        lo, hi = map(_jnp.asarray, ct._current_bounds())
         tot = lambda v, data: sum(  # noqa: E731
-            _jnp.sum(h) for h in fn(v, lo, hi, data)["hist"].values()
+            jnp.sum(h) for h in fn(v, data=data)["hist"].values()
         )
-        btot = _jax.jit(_jax.vmap(tot, in_axes=(0, None)))
-        v0 = _jnp.asarray(ct.current_rescaled_values())
+        btot = jax.jit(jax.vmap(tot, in_axes=(0, None)))
+        v0 = jnp.asarray(ct.current_rescaled_values())
         batch = 32
-        vb = _jnp.tile(v0, (batch, 1)) + _jnp.arange(batch)[:, None] * 1e-5
-        np.asarray(btot(vb, ct._data_vals))  # compile (excluded)
+        vb = jnp.tile(v0, (batch, 1)) + jnp.arange(batch)[:, None] * 1e-5
+        _retry_transient(
+            lambda: np.asarray(btot(vb, ct._data_vals)), label="batched"
+        )
+        _log("batched compile done")
         t0 = time.time()
         reps = 5
         for i in range(reps):
@@ -140,46 +199,39 @@ def main():
         # the chip's true template throughput
         steps = 10
 
-        @_jax.jit
+        @jax.jit
         def _scan(vb, data):
             def step(c, _):
-                r = _jax.vmap(tot, in_axes=(0, None))(vb + c * 1e-6, data)
-                return c + _jnp.sum(r) * 1e-30, None
-            c, _ = _jax.lax.scan(
-                step, _jnp.float32(0.0), None, length=steps
+                r = jax.vmap(tot, in_axes=(0, None))(vb + c * 1e-6, data)
+                return c + jnp.sum(r) * 1e-30, None
+            c, _ = jax.lax.scan(
+                step, jnp.float32(0.0), None, length=steps
             )
             return c
 
-        float(_scan(vb, ct._data_vals))  # compile (excluded)
+        _retry_transient(
+            lambda: float(_scan(vb, ct._data_vals)), label="in-device"
+        )
         t0 = time.time()
         float(_scan(vb, ct._data_vals))
         rate_d = batch * steps / (time.time() - t0)
-        print(
-            json.dumps(
-                {
-                    "metric": "icecube_3y_indevice_templates_per_sec",
-                    "value": round(rate_d, 3),
-                    "unit": "templates/s",
-                    "vs_baseline": round(
-                        rate_d / CPU_BASELINE["icecube_3y"], 2
-                    ),
-                }
-            ),
-            file=sys.stderr,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": "icecube_3y_batched_templates_per_sec",
-                    "value": round(rate_b, 3),
-                    "unit": "templates/s",
-                    "vs_baseline": round(
-                        rate_b / CPU_BASELINE["icecube_3y"], 2
-                    ),
-                }
-            ),
-            file=sys.stderr,
-        )
+        for metric, rate in (
+            ("icecube_3y_indevice_templates_per_sec", rate_d),
+            ("icecube_3y_batched_templates_per_sec", rate_b),
+        ):
+            print(
+                json.dumps(
+                    {
+                        "metric": metric,
+                        "value": round(rate, 3),
+                        "unit": "templates/s",
+                        "vs_baseline": round(
+                            rate / CPU_BASELINE["icecube_3y"], 2
+                        ),
+                    }
+                ),
+                file=sys.stderr,
+            )
     except Exception as exc:
         print(f"# batched bench failed: {exc}", file=sys.stderr)
 
@@ -205,6 +257,78 @@ def main():
         )
     except Exception as exc:  # secondary workload must not kill the bench
         print(f"# osc_example bench failed: {exc}", file=sys.stderr)
+
+
+def _run_child(mode, timeout, extra_env=None):
+    """Run `python bench.py --worker <mode>` under a hard timeout.
+
+    Returns (ok, stdout_text). stderr passes through to our stderr so the
+    driver's tail always shows progress even on a timeout/kill.
+    """
+    env = dict(os.environ)
+    env["PYTHONUNBUFFERED"] = "1"
+    if extra_env:
+        env.update(extra_env)
+    _log(f"child --worker {mode} (timeout {timeout:.0f}s,"
+         f" platform={env.get('JAX_PLATFORMS', 'default')})")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", mode],
+            stdout=subprocess.PIPE,
+            stderr=None,  # inherit
+            env=env,
+            timeout=max(timeout, 1.0),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out = r.stdout.decode()
+        return r.returncode == 0, out
+    except subprocess.TimeoutExpired as exc:
+        _log(f"child --worker {mode} timed out after {timeout:.0f}s")
+        return False, (exc.stdout or b"").decode()
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        if sys.argv[2] == "headline":
+            _worker_headline()
+        elif sys.argv[2] == "secondary":
+            _worker_secondary()
+        return
+
+    # orchestrator
+    headline = None
+    # leg 1: ambient platform (TPU when the tunnel is up)
+    ok, out = _run_child("headline", min(300.0, _remaining() - 120.0))
+    if ok and out.strip():
+        headline = out.strip().splitlines()[0]
+    else:
+        # leg 2: identical measurement on CPU — a hung tunnel must not
+        # leave the round without a recorded number
+        _log("accelerator leg failed; falling back to CPU")
+        ok, out = _run_child(
+            "headline",
+            max(_remaining() - 30.0, 60.0),
+            extra_env={"JAX_PLATFORMS": "cpu"},
+        )
+        if ok and out.strip():
+            headline = out.strip().splitlines()[0]
+
+    if headline is None:
+        # still print a schema-valid line rather than nothing
+        headline = json.dumps(
+            {
+                "metric": "icecube_3y_templates_per_sec",
+                "value": 0.0,
+                "unit": "templates/s",
+                "vs_baseline": 0.0,
+            }
+        )
+        _log("ALL legs failed; emitting zero result")
+    print(headline)
+    sys.stdout.flush()
+
+    if _remaining() > 90.0:
+        _run_child("secondary", _remaining() - 10.0)
 
 
 if __name__ == "__main__":
