@@ -80,6 +80,31 @@ CACHE_DIR = os.environ.get(
     ),
 )
 
+def _machine_tag():
+    """CPU-feature fingerprint scoping the persistent compilation cache.
+
+    The XLA:CPU persistent cache stores AOT machine code specialized to the
+    compiling host's ISA extensions; when several heterogeneous machines
+    share this filesystem (observed: entries compiled with AMX/AVX512
+    features this host lacks), loading a foreign entry can SIGILL. Scope the
+    cache directory by a hash of the host's CPU flags so each machine only
+    ever sees its own entries.
+    """
+    import hashlib
+    import platform as _platform
+
+    ident = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 # Persistent XLA compilation cache (cf. reference CACHE_DIR holding numba's
 # compiled-function disk cache, ``pisa/__init__.py:96-120``): repeat runs of
 # bench/tests/fits skip recompiles of the big template programs.
@@ -87,7 +112,8 @@ if os.environ.get("PISA_TPU_COMPILATION_CACHE", "1") not in ("0", "off"):
     import jax as _jax
 
     _jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache")
+        "jax_compilation_cache_dir",
+        os.path.join(CACHE_DIR, f"xla_cache-{_machine_tag()}"),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
