@@ -38,6 +38,14 @@ def _rep_hash(rep):
     return hash(rep)
 
 
+#: When not None, a list collecting (container, events_rep, binning) triples
+#: for flat-index cache misses hit while coordinates were JAX tracers (i.e.
+#: during template tracing, when the cache cannot be populated). The template
+#: compiler installs a list here during its discovery pass, then populates
+#: the caches concretely and re-traces. See CompiledTemplate.
+_FLATIDX_RECORDER = None
+
+
 class Container:
     """Data for one event category ('nue_cc', ...).
 
@@ -60,6 +68,14 @@ class Container:
         self._aux_data = {}
         self.linked = False
         self._representation = None
+        #: (events_rep_hash, binning_hash) -> int32 sanitized flat indices;
+        #: param-independent, so cached across template evaluations (and fed
+        #: to the compiled template as explicit device arguments)
+        self._flatidx = {}
+        #: cache key -> coordinate names the entry depends on (for
+        #: invalidation when a stage rewrites a coordinate, e.g.
+        #: reco.resolutions scaling reco variables by a fit param)
+        self._flatidx_names = {}
         self.representation = representation
 
     # -- representation handling --------------------------------------------
@@ -200,6 +216,15 @@ class Container:
         """Current representation becomes the only valid one for `key`."""
         h = _rep_hash(self._representation)
         self.validity[key] = {h: True}
+        # a rewritten coordinate invalidates flat-index caches built on it
+        if self._flatidx:
+            stale = [
+                k
+                for k, names in self._flatidx_names.items()
+                if key in names and k in self._flatidx
+            ]
+            for k in stale:
+                del self._flatidx[k]
 
     def mark_valid(self, key):
         self.validity.setdefault(key, {})[_rep_hash(self._representation)] = True
@@ -271,16 +296,54 @@ class Container:
         finally:
             self._representation = prev
 
+    def cached_flat_indices(self, binning, events_rep=None):
+        """Sanitized flat bin indices of this container's events under
+        `binning`, cached across calls (the indices are param-independent;
+        recomputing the per-dimension bin searches per template evaluation
+        measured ~35 ms/template on the IceCube-3y pipeline).
+
+        Returns None when the cache is cold and the coordinates are JAX
+        tracers (inside a template trace) — callers then fall back to
+        computing indices inline, and the miss is recorded for the template
+        compiler's discovery pass.
+        """
+        import jax
+
+        if events_rep is None:
+            events_rep = self._representation
+        key = (_rep_hash(events_rep), _rep_hash(binning))
+        if key in self._flatidx:
+            return self._flatidx[key]
+        sample = self._sample_arrays(events_rep, binning.names)
+        if any(isinstance(a, jax.core.Tracer) for a in sample):
+            if _FLATIDX_RECORDER is not None:
+                _FLATIDX_RECORDER.append((self, events_rep, binning))
+            return None
+        idx = translation.sanitized_flat_indices(sample, binning)
+        self._flatidx[key] = idx
+        self._flatidx_names[key] = tuple(binning.names)
+        return idx
+
     def _array_to_binned(self, values, src_rep, dest_binning, averaged=True):
+        idx = (
+            self.cached_flat_indices(dest_binning, events_rep=src_rep)
+            if not isinstance(src_rep, MultiDimBinning)
+            else None
+        )
         sample = self._sample_arrays(src_rep, dest_binning.names)
         hist = translation.histogram(
-            sample, values, dest_binning, averaged=averaged
+            sample, values, dest_binning, averaged=averaged, idx=idx
         )
         return hist
 
     def _binned_to_array(self, values, src_binning, dest_rep):
+        idx = (
+            self.cached_flat_indices(src_binning, events_rep=dest_rep)
+            if not isinstance(dest_rep, MultiDimBinning)
+            else None
+        )
         sample = self._sample_arrays(dest_rep, src_binning.names)
-        return translation.lookup(sample, values, src_binning)
+        return translation.lookup(sample, values, src_binning, idx=idx)
 
     def _resample(self, key, src_binning, dest_binning):
         old_sample = self._sample_arrays(src_binning, src_binning.names)

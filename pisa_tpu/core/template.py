@@ -104,8 +104,48 @@ class CompiledTemplate:
         self.names = list(pipeline.data.names) if pipeline.data.names else None
 
         self._place_container_data()
+        self._populate_flatidx_caches()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
+
+    def _populate_flatidx_caches(self):
+        """Discovery pass: abstractly trace the template once, recording
+        every events<->binned translation whose param-independent flat bin
+        indices could not be cached (coordinates were tracers), then compute
+        those indices concretely and re-collect the data slots so they ride
+        along as device arguments. Collapses the per-template bin searches
+        (~35 ms/template on the IceCube-3y pipeline) into one-time setup
+        work."""
+        from pisa_tpu.core import container as container_mod
+
+        fn = self._build_fn()
+        vec_struct = jax.ShapeDtypeStruct(
+            (len(self._free_params),), jnp.asarray(0.0).dtype
+        )
+        data_structs = [
+            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in self._data_vals
+        ]
+        misses = []
+        container_mod._FLATIDX_RECORDER = misses
+        try:
+            jax.eval_shape(fn, vec_struct, data=data_structs)
+        except Exception as exc:  # discovery must never break compilation
+            logging.warning(
+                "flat-index discovery trace failed (%s); falling back to"
+                " inline bin searches", exc
+            )
+            misses = []
+        finally:
+            container_mod._FLATIDX_RECORDER = None
+        seen = set()
+        for c, events_rep, binning in misses:
+            key = (id(c), hash(events_rep), hash(binning))
+            if key in seen:
+                continue
+            seen.add(key)
+            c.cached_flat_indices(binning, events_rep=events_rep)
+        if seen:
+            self._place_container_data()
 
     def _place_container_data(self):
         """device_put every container array once (bulk host->device copies)
@@ -130,6 +170,13 @@ class CompiledTemplate:
                         per_rep[h] = placed
                         self._data_slots.append((container, key, h))
                         self._data_vals.append(placed)
+            # cached translation indices ride along as arguments too (slot
+            # key None marks a _flatidx entry keyed by `h`)
+            for cache_key, arr in container._flatidx.items():
+                placed = jax.device_put(arr)
+                container._flatidx[cache_key] = placed
+                self._data_slots.append((container, None, cache_key))
+                self._data_vals.append(placed)
 
     # -- trace construction ----------------------------------------------------
     def _current_bounds(self):
@@ -166,16 +213,18 @@ class CompiledTemplate:
                     {k: dict(v) for k, v in c._data.items()},
                     {k: dict(v) for k, v in c.validity.items()},
                     c.representation,
+                    dict(c._flatidx),
                 )
             )
         return state
 
     @staticmethod
     def _restore(state):
-        for c, data, validity, rep in state:
+        for c, data, validity, rep, flatidx in state:
             c._data = data
             c.validity = validity
             c.representation = rep
+            c._flatidx = flatidx
 
     def _build_fn(self):
         pipeline = self.pipeline
@@ -190,8 +239,12 @@ class CompiledTemplate:
                 if data is not None:
                     # container data arrives as traced arguments; install
                     # into the (snapshotted) containers for the stage run
+                    # (key None: cached flat-index entry keyed by `h`)
                     for (c, key, h), arr in zip(self._data_slots, data):
-                        c._data[key][h] = arr
+                        if key is None:
+                            c._flatidx[h] = arr
+                        else:
+                            c._data[key][h] = arr
                 for p, mag in zip(self._free_params, mags):
                     p._value = Quantity(mag, p.units)
                 for stage in pipeline.stages:

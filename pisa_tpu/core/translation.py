@@ -34,6 +34,7 @@ from pisa_tpu.core.binning import MultiDimBinning
 __all__ = [
     "find_index",
     "lookup_indices_flat",
+    "sanitized_flat_indices",
     "histogram",
     "lookup",
     "resample",
@@ -117,7 +118,28 @@ def _as_spec(binning_or_spec):
     return binning_or_spec
 
 
-def histogram(sample, weights, binning_or_spec, averaged=False, apply_weights=True):
+def sanitized_flat_indices(sample, binning_or_spec):
+    """Row-major flat bin index per event, with any-dim under/overflow mapped
+    to ``size`` (a drop bucket valid for both :func:`histogram` and
+    :func:`lookup`).
+
+    The index depends only on the event coordinates and the binning — not on
+    any fit parameter — so callers evaluating many templates should compute
+    it once (concretely) and pass it back via the ``idx=`` argument of
+    :func:`histogram`/:func:`lookup`: the per-template binary searches
+    (measured ~35 ms/template on the IceCube-3y pipeline's grid->events
+    translations, vs 2.7 ms for the oscillation compute itself) collapse to
+    plain gathers."""
+    spec = _as_spec(binning_or_spec)
+    flat, under, over = _flat_indices(sample, spec)
+    size = int(np.prod([d["num_bins"] for d in spec]))
+    return jnp.where(under | over, size, flat).astype(jnp.int32)
+
+
+def histogram(
+    sample, weights, binning_or_spec, averaged=False, apply_weights=True,
+    idx=None,
+):
     """Histogram `sample` into the binning, weighted by `weights`.
 
     Parameters
@@ -131,6 +153,9 @@ def histogram(sample, weights, binning_or_spec, averaged=False, apply_weights=Tr
         additive weights (cf. reference ``translation.py:104-110``).
     apply_weights : bool
         If False, histogram unweighted counts.
+    idx : array (N,) int32, optional
+        Precomputed :func:`sanitized_flat_indices`; skips the per-dimension
+        bin searches (param-independent — cache across template evaluations).
 
     Returns
     -------
@@ -138,10 +163,10 @@ def histogram(sample, weights, binning_or_spec, averaged=False, apply_weights=Tr
     """
     spec = _as_spec(binning_or_spec)
     size = int(np.prod([d["num_bins"] for d in spec]))
-    flat, under, over = _flat_indices(sample, spec)
-    invalid = under | over
-    # out-of-range events land in a dropped bucket at `size`
-    idx = jnp.where(invalid, size, flat)
+    if idx is None:
+        flat, under, over = _flat_indices(sample, spec)
+        # out-of-range events land in a dropped bucket at `size`
+        idx = jnp.where(under | over, size, flat)
 
     n_events = jnp.shape(sample[0])[0]
     if weights is None or not apply_weights:
@@ -164,12 +189,18 @@ def histogram(sample, weights, binning_or_spec, averaged=False, apply_weights=Tr
     return flat_hist
 
 
-def lookup(sample, flat_hist, binning_or_spec):
+def lookup(sample, flat_hist, binning_or_spec, idx=None):
     """Look up binned values at event positions; out-of-range events get 0
-    (cf. reference ``translation.py:228``)."""
+    (cf. reference ``translation.py:228``). `idx`: optional precomputed
+    :func:`sanitized_flat_indices` (invalid encoded as ``size``)."""
     spec = _as_spec(binning_or_spec)
-    flat, under, over = _flat_indices(sample, spec)
-    invalid = under | over
+    if idx is None:
+        flat, under, over = _flat_indices(sample, spec)
+        invalid = under | over
+    else:
+        size = int(np.prod([d["num_bins"] for d in spec]))
+        flat = idx
+        invalid = idx >= size
     flat_hist = jnp.asarray(flat_hist)
     vals = flat_hist[jnp.clip(flat, 0, flat_hist.shape[0] - 1)]
     if flat_hist.ndim > 1:

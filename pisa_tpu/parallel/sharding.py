@@ -63,6 +63,12 @@ def shard_containers(data, mesh, axis_name="data"):
                         container.name, key, arr.shape[0], n,
                     )
                 per_rep[rep_hash] = _shard_array(arr, mesh, axis_name)
+        # cached translation indices are per-event too: shard them the same
+        # way so gathers stay local to each shard
+        for cache_key, arr in container._flatidx.items():
+            container._flatidx[cache_key] = _shard_array(
+                arr, mesh, axis_name
+            )
 
 
 def build_batched_objective(

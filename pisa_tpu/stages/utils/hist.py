@@ -120,12 +120,16 @@ class hist(Stage):  # noqa: N801
                 else:
                     unc = 1.0
                 w = unc * weights
+                # param-independent bin indices: cached across template
+                # evaluations (None during a cold-cache trace -> inline)
+                idx = container.cached_flat_indices(self.apply_mode)
                 hist_w = translation.histogram(
-                    sample, w, self._binning_spec, averaged=False
+                    sample, w, self._binning_spec, averaged=False, idx=idx
                 )
                 if self.error_method == "sumw2":
                     sumw2 = translation.histogram(
-                        sample, jnp.square(w), self._binning_spec, averaged=False
+                        sample, jnp.square(w), self._binning_spec,
+                        averaged=False, idx=idx,
                     )
                     bin_unc2 = translation.histogram(
                         sample,
@@ -134,6 +138,7 @@ class hist(Stage):  # noqa: N801
                         else w,
                         self._binning_spec,
                         averaged=False,
+                        idx=idx,
                     )
                 container.representation = self.apply_mode
                 container["weights"] = hist_w
