@@ -430,12 +430,43 @@ class prob3(Stage):  # noqa: N801
             container.mark_changed("prob_mu")
 
     def apply_function(self):
+        from pisa_tpu.core.container import _rep_hash
+
+        calc_h = _rep_hash(self.calc_mode)
         for container in self.data:
-            nu_flux = container["nu_flux"]
-            container["weights"] = container["weights"] * (
-                nu_flux[:, 0] * container["prob_e"]
-                + nu_flux[:, 1] * container["prob_mu"]
+            # When flux and probabilities are both valid on the calc grid and
+            # must be translated to the apply representation, fuse the
+            # flux*probability product ON the grid first and translate the
+            # single resulting rate channel: an 'average'-mode lookup gathers
+            # the event's own grid cell, so gather(flux)*gather(prob) ==
+            # gather(flux*prob) exactly — and one gather per container
+            # replaces three (TPU gathers dominated the template evaluation).
+            fusable = (
+                _rep_hash(container.representation) != calc_h
+                and container.validity.get("nu_flux", {}).get(calc_h, False)
+                and container.validity.get("prob_e", {}).get(calc_h, False)
+                and container.validity.get("prob_mu", {}).get(calc_h, False)
             )
+            if fusable:
+                rep = container.representation
+                container.representation = self.calc_mode
+                nu_flux = container["nu_flux"]
+                rate = (
+                    nu_flux[:, 0] * container["prob_e"]
+                    + nu_flux[:, 1] * container["prob_mu"]
+                )
+                container["osc_flux_rate"] = rate
+                container.mark_changed("osc_flux_rate")
+                container.representation = rep
+                container["weights"] = (
+                    container["weights"] * container["osc_flux_rate"]
+                )
+            else:
+                nu_flux = container["nu_flux"]
+                container["weights"] = container["weights"] * (
+                    nu_flux[:, 0] * container["prob_e"]
+                    + nu_flux[:, 1] * container["prob_mu"]
+                )
 
 
 def init_test(**param_kwargs):
