@@ -59,9 +59,12 @@ CPU_BASELINE = {
 N_TEMPLATES = 50
 
 # Overall wall-clock budget for the whole bench (orchestrator enforces it on
-# children); the driver's own timeout is believed to be ~9.5 min, so leave
-# margin for interpreter startup and fallback.
-DEADLINE_S = float(os.environ.get("PISA_TPU_BENCH_DEADLINE", 460))
+# children); the driver's own timeout is believed to be ~9.5 min (570 s), so
+# leave margin for interpreter startup. The CPU insurance leg runs
+# CONCURRENTLY with the accelerator leg (it finishes in ~60 s; observed
+# axon-tunnel first-call times vary 109-330 s), so a late TPU result no
+# longer eats the fallback's budget.
+DEADLINE_S = float(os.environ.get("PISA_TPU_BENCH_DEADLINE", 535))
 _T_START = time.time()
 
 
@@ -259,32 +262,36 @@ def _worker_secondary():
         print(f"# osc_example bench failed: {exc}", file=sys.stderr)
 
 
-def _run_child(mode, timeout, extra_env=None):
-    """Run `python bench.py --worker <mode>` under a hard timeout.
+def _spawn_child(mode, extra_env=None, to_file=None):
+    """Start `python bench.py --worker <mode>` without waiting.
 
-    Returns (ok, stdout_text). stderr passes through to our stderr so the
-    driver's tail always shows progress even on a timeout/kill.
+    stderr passes through to our stderr so the driver's tail always shows
+    progress even on a timeout/kill; stdout goes to a pipe (or `to_file`).
     """
     env = dict(os.environ)
     env["PYTHONUNBUFFERED"] = "1"
     if extra_env:
         env.update(extra_env)
-    _log(f"child --worker {mode} (timeout {timeout:.0f}s,"
-         f" platform={env.get('JAX_PLATFORMS', 'default')})")
+    _log(f"spawn --worker {mode}"
+         f" (platform={env.get('JAX_PLATFORMS', 'default')})")
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", mode],
+        stdout=to_file if to_file is not None else subprocess.PIPE,
+        stderr=None,  # inherit
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
+
+def _wait_child(proc, timeout):
+    """Wait up to `timeout` s. Returns (ok, stdout_text); kills on timeout."""
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", mode],
-            stdout=subprocess.PIPE,
-            stderr=None,  # inherit
-            env=env,
-            timeout=max(timeout, 1.0),
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        out = r.stdout.decode()
-        return r.returncode == 0, out
-    except subprocess.TimeoutExpired as exc:
-        _log(f"child --worker {mode} timed out after {timeout:.0f}s")
-        return False, (exc.stdout or b"").decode()
+        out, _ = proc.communicate(timeout=max(timeout, 1.0))
+        return proc.returncode == 0, (out or b"").decode()
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        return False, (out or b"").decode()
 
 
 def main():
@@ -295,23 +302,25 @@ def main():
             _worker_secondary()
         return
 
-    # orchestrator
+    # Orchestrator: launch the accelerator leg AND the CPU insurance leg
+    # concurrently. The CPU leg completes in ~60 s and its result is used
+    # only if the accelerator leg fails or runs out of budget, so a hung
+    # tunnel can never leave the round without a recorded number.
     headline = None
-    # leg 1: ambient platform (TPU when the tunnel is up)
-    ok, out = _run_child("headline", min(300.0, _remaining() - 120.0))
+    tpu_proc = _spawn_child("headline")
+    cpu_proc = _spawn_child("headline", extra_env={"JAX_PLATFORMS": "cpu"})
+
+    ok, out = _wait_child(tpu_proc, _remaining() - 35.0)
     if ok and out.strip():
         headline = out.strip().splitlines()[0]
+        _log("accelerator leg succeeded")
+        cpu_proc.kill()
+        cpu_proc.communicate()
     else:
-        # leg 2: identical measurement on CPU — a hung tunnel must not
-        # leave the round without a recorded number
-        _log("accelerator leg failed; falling back to CPU")
-        ok, out = _run_child(
-            "headline",
-            max(_remaining() - 30.0, 60.0),
-            extra_env={"JAX_PLATFORMS": "cpu"},
-        )
-        if ok and out.strip():
-            headline = out.strip().splitlines()[0]
+        _log("accelerator leg failed/timed out; using CPU insurance leg")
+        ok_cpu, out_cpu = _wait_child(cpu_proc, _remaining() - 15.0)
+        if ok_cpu and out_cpu.strip():
+            headline = out_cpu.strip().splitlines()[0]
 
     if headline is None:
         # still print a schema-valid line rather than nothing
@@ -328,7 +337,7 @@ def main():
     sys.stdout.flush()
 
     if _remaining() > 90.0:
-        _run_child("secondary", _remaining() - 10.0)
+        _wait_child(_spawn_child("secondary"), _remaining() - 10.0)
 
 
 if __name__ == "__main__":
