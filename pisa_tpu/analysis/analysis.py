@@ -827,6 +827,68 @@ class BasicAnalysis:
             kwargs, local_fit_kwargs,
         )
 
+    def _fit_device(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Entire minimizer loop on-device (``analysis/device_fit.py``):
+        bounded L-BFGS inside ``lax.while_loop``, ONE device dispatch per
+        complete fit (vs one per iteration for 'gradient', or one template
+        per finite-difference component for the reference,
+        ``analysis.py:1561``). method_kwargs: ``max_steps``, ``gtol``."""
+        from pisa_tpu.analysis import device_fit
+
+        if external_priors_penalty is not None:
+            raise ValueError(
+                "external (host-side) penalties cannot run inside the"
+                " device program; use method='gradient'"
+            )
+        kwargs = dict(method_kwargs or {})
+        max_steps = int(kwargs.pop("max_steps", 200))
+        gtol = kwargs.pop("gtol", None)  # None -> precision-aware default
+        if kwargs:
+            raise ValueError(f"unknown device-fit options: {sorted(kwargs)}")
+        metric_name = self._metric_name(metric)
+
+        free = hypo_maker.params.free
+        if len(free) == 0:
+            return self._no_fit_result(
+                data_dist, hypo_maker, metric, external_priors_penalty
+            )
+        t_start = time.time()
+        compiled = self._get_compiled(hypo_maker)
+        value_fn, _ = compiled.build_objective(
+            self._data_total(data_dist), metric_name
+        )
+        x0 = np.asarray(free._rescaled_values, dtype=np.float64)
+        los, his = compiled._current_bounds()
+        res = device_fit.minimize_on_device(
+            value_fn.raw, x0, los, his, compiled._all_data_vals(),
+            max_steps=max_steps, gtol=gtol,
+        )
+        minimizer_time = time.time() - t_start
+
+        hypo_maker._set_rescaled_free_params(np.clip(res["x"], 0.0, 1.0))
+        sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
+        counter = Counter()
+        counter += res["nit"]
+        return HypoFitResult(
+            metric=metric,
+            metric_val=sign * res["fun"],
+            data_dist=data_dist,
+            hypo_maker=hypo_maker,
+            minimizer_time=minimizer_time,
+            minimizer_metadata={
+                "success": bool(np.isfinite(res["fun"])),
+                "message": "",
+                "nit": res["nit"],
+                "nfev": res["nit"],
+                "method": "device_lbfgs",
+            },
+            fit_history=[["metric"] + list(free.names)],
+            counter=counter,
+        )
+
     def _fit_iminuit(
         self, data_dist, hypo_maker, metric, external_priors_penalty,
         method_kwargs, local_fit_kwargs,

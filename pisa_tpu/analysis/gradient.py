@@ -64,6 +64,7 @@ class CompiledDistribution:
                 )
             )
         self._sum_jitted = jax.jit(self._build_sum_fn())
+        self._objective_cache = {}
 
     # -- shared building blocks -------------------------------------------------
     def _current_bounds(self):
@@ -152,7 +153,43 @@ class CompiledDistribution:
         (a MapSet whose maps are summed, a Map, or an array).
 
         Sign convention: always minimized (llh-family negated), matching the
-        reference's ``_minimizer_callable`` (``analysis.py:2493``)."""
+        reference's ``_minimizer_callable`` (``analysis.py:2493``).
+
+        Results are memoized per (metric, priors, data content), so repeat
+        fits against the same data distribution (octant/range/staged
+        strategies, test suites) reuse the already-jitted objective instead
+        of recompiling."""
+        key = self._objective_cache_key(data_dist, metric, priors, data_variance)
+        if key is not None:
+            cached = self._objective_cache.get(key)
+            if cached is not None:
+                return cached
+        result = self._build_objective_uncached(
+            data_dist, metric, priors, data_variance
+        )
+        if key is not None:
+            self._objective_cache[key] = result
+        return result
+
+    def _objective_cache_key(self, data_dist, metric, priors, data_variance):
+        try:
+            parts = [metric, bool(priors)]
+            for m in (data_dist if isinstance(data_dist, MapSet) else [data_dist]):
+                if isinstance(m, Map):
+                    parts.append(m.hist.tobytes())
+                    if m.variance is not None:
+                        parts.append(m.variance.tobytes())
+                else:
+                    parts.append(np.asarray(m).tobytes())
+            if data_variance is not None:
+                parts.append(np.asarray(data_variance).tobytes())
+            return hash(tuple(parts))
+        except Exception:
+            return None
+
+    def _build_objective_uncached(
+        self, data_dist, metric, priors=True, data_variance=None
+    ):
         maximize = stats.is_metric_to_maximize(metric)
         metric_fn = getattr(stats, metric)
 
@@ -192,13 +229,18 @@ class CompiledDistribution:
             "signed_sqrt_mod_chi2",
         )
 
-        def objective(vec, los, his, datas=None):
+        def objective_with_data(vec, los, his, datas=None, data_arg=None):
+            # `data_arg` lets callers supply the observed histogram as a
+            # runtime (batchable) input — e.g. vmapped pseudo-experiment
+            # fits (analysis/device_fit.py); the closed-over Asimov
+            # variance is kept for variance-based metrics.
             exp = sum_fn(vec, los, his, datas)
+            d = data if data_arg is None else data_arg
             if uses_variance:
                 v = data_var if data_var is not None else jnp.zeros_like(exp)
-                vals = metric_fn(data, exp, v)
+                vals = metric_fn(d, exp, v)
             else:
-                vals = metric_fn(data, exp)
+                vals = metric_fn(d, exp)
             total = jnp.sum(vals)
 
             if priors:
@@ -230,6 +272,9 @@ class CompiledDistribution:
 
             return -total if maximize else total
 
+        def objective(vec, los, his, datas=None):
+            return objective_with_data(vec, los, his, datas)
+
         value_jit = jax.jit(objective)
         vg_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
 
@@ -248,7 +293,11 @@ class CompiledDistribution:
             )
 
         # expose the un-jitted objective for composition (CompiledDetectors)
+        # and the data-as-argument form for on-device batched fits
         value_fn.raw = objective
+        value_fn.raw_with_data = objective_with_data
+        vg_fn.raw = objective
+        vg_fn.raw_with_data = objective_with_data
         return value_fn, vg_fn
 
 
@@ -288,6 +337,7 @@ class CompiledDetectors:
                         " the joint free params"
                     )
             self.index_maps.append(np.asarray(idxs, dtype=np.int32))
+        self._objective_cache = {}
 
     def current_rescaled_values(self):
         return np.asarray(
@@ -301,14 +351,35 @@ class CompiledDetectors:
             his.append(float(p.range[1].m_as(p.units)))
         return np.asarray(los), np.asarray(his)
 
+    def _all_data_vals(self):
+        """Per-detector nested container-data argument lists (the `datass`
+        runtime input of the joint objective)."""
+        return [cd._all_data_vals() for cd in self._cds]
+
     def build_objective(self, data_dists, metric, priors=True):
         """(value_fn, value_and_grad_fn) of the joint rescaled vector.
-        `data_dists` is the per-detector list of MapSets."""
+        `data_dists` is the per-detector list of MapSets. Memoized per
+        (metric, priors, data content) like
+        :meth:`CompiledDistribution.build_objective`."""
         if not isinstance(data_dists, (list, tuple)):
             raise ValueError(
                 "Detectors objectives need a per-detector list of data"
                 " distributions"
             )
+        try:
+            parts = [metric, bool(priors)]
+            for ds in data_dists:
+                for m in (ds if isinstance(ds, MapSet) else [ds]):
+                    parts.append(
+                        m.hist.tobytes()
+                        if isinstance(m, Map)
+                        else np.asarray(m).tobytes()
+                    )
+            key = hash(tuple(parts))
+        except Exception:
+            key = None
+        if key is not None and key in self._objective_cache:
+            return self._objective_cache[key]
         maximize = stats.is_metric_to_maximize(metric)
 
         # per-detector raw objectives WITHOUT priors (joint priors below
@@ -370,4 +441,7 @@ class CompiledDetectors:
             )
 
         value_fn.raw = objective
+        vg_fn.raw = objective
+        if key is not None:
+            self._objective_cache[key] = (value_fn, vg_fn)
         return value_fn, vg_fn
