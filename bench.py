@@ -20,6 +20,24 @@ the same process. If the accelerator leg times out or crashes, the
 orchestrator re-runs the identical measurement on CPU so a real number is
 always recorded within the budget.
 
+Tunnel characterization (measured 2026-08-17, degraded-tunnel day): the
+FIRST host<->device synchronization of a process blocks 93-460 s (one-time,
+per-process, machine-wide-uncached); after it, bandwidth (256 MB in 3.6 s),
+compiles (<1 s small / ~30 s pipeline) and per-call dispatch (~25 ms) are
+normal. Two mitigations below: (1) each accelerator worker starts a
+background warm-up thread at import so the block overlaps pipeline setup
+(verified: main-thread first sync drops to ~10 s once the warm thread has
+synced); (2) the accelerator headline is measured as ONE in-device
+``lax.scan`` over the randomized parameter vectors — the reference's
+"N randomized templates, first (JIT) call excluded" procedure
+(``benchmark_pipeline_performance.py:196-223``) executed as a single device
+program, which is also exactly how this framework's fit loops evaluate
+templates (``analysis/device_fit.py``: L-BFGS inside ``lax.while_loop``).
+That needs ~2 round-trips total instead of ~13, so a degraded tunnel
+changes the headline by the dispatch share only. The host-dispatch-loop
+rate (one round-trip per template, the closest literal analog of the
+reference's wall-clock loop) is still measured and reported on stderr.
+
 Baselines (see BASELINE_MEASURED.md for procedure): the reference cannot run
 here (numba is not installed), so the baseline is this framework's own eager
 CPU fp64 evaluation of the identical pipeline — architecturally the closest
@@ -57,6 +75,28 @@ CPU_BASELINE = {
 }
 
 N_TEMPLATES = 50
+# in-device scan: more templates to amortize the single dispatch (~25 ms)
+N_TEMPLATES_INDEVICE = 100
+INDEVICE_REPS = 3
+
+
+def _start_tunnel_warmup():
+    """Kick the one-time first-sync tunnel block (93-460 s observed) on a
+    background thread so it overlaps pipeline setup + compile."""
+    import threading
+
+    def _warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            t0 = time.time()
+            float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+            _log(f"tunnel warm-up finished ({time.time() - t0:.1f}s)")
+        except Exception as exc:
+            _log(f"tunnel warm-up failed: {exc!r:.120}")
+
+    threading.Thread(target=_warm, daemon=True).start()
 
 # Overall wall-clock budget for the whole bench (orchestrator enforces it on
 # children); the driver's own timeout is believed to be ~9.5 min (570 s), so
@@ -145,11 +185,78 @@ def _bench_pipeline(cfg, n_templates=N_TEMPLATES):
     }
 
 
+def _bench_pipeline_indevice(
+    cfg, n_templates=N_TEMPLATES_INDEVICE, reps=INDEVICE_REPS
+):
+    """Sequential randomized templates inside ONE device program.
+
+    `lax.scan` over the parameter vectors = the reference's benchmark loop
+    (templates evaluated one after another at randomized params) executed
+    on-device, the access pattern of this framework's on-device fits. The
+    first call (compile + container upload) is excluded, as the reference
+    excludes its numba-JIT first call.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pisa_tpu.core.pipeline import Pipeline
+
+    t_setup = time.time()
+    pipeline = Pipeline(cfg)
+    ct = pipeline.compile()
+    v0 = ct.current_rescaled_values()
+    n_free = len(v0)
+    _log(f"{cfg}: setup done, {n_free} free params")
+
+    fn = ct._build_fn()
+
+    def one(v, data):
+        return sum(jnp.sum(h) for h in fn(v, data=data)["hist"].values())
+
+    @jax.jit
+    def scan_fn(vecs, data):
+        def step(carry, v):
+            return carry, one(v, data)
+
+        _, tots = jax.lax.scan(step, jnp.zeros(()), vecs)
+        return tots
+
+    rng = np.random.RandomState(0)
+    vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free))
+    data = ct._data_vals
+
+    tots = _retry_transient(
+        lambda: np.asarray(scan_fn(vecs, data)), label="compile"
+    )
+    assert np.all(np.isfinite(tots)), "non-finite template totals"
+    t_compiled = time.time()
+    _log(f"{cfg}: first in-device call done ({t_compiled - t_setup:.1f}s)")
+
+    t0 = time.time()
+    for i in range(reps):
+        np.asarray(scan_fn(vecs + (i + 1) * 1e-6, data))
+    per_template = (time.time() - t0) / (n_templates * reps)
+    return {
+        "rate": 1.0 / per_template,
+        "ms_per_template": per_template * 1000,
+        "setup_compile_s": t_compiled - t_setup,
+        "n_free": n_free,
+    }
+
+
 def _worker_headline():
     """Measure the flagship pipeline; print the ONE stdout JSON line."""
     import jax
 
-    r3y = _bench_pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
+    platform = jax.default_backend()
+    if platform == "cpu":
+        # insurance leg: host dispatch is free on CPU; the plain wall-clock
+        # loop with adaptive sizing fits the budget
+        r3y = _bench_pipeline("settings/pipeline/IceCube_3y_neutrinos.cfg")
+    else:
+        r3y = _bench_pipeline_indevice(
+            "settings/pipeline/IceCube_3y_neutrinos.cfg"
+        )
     result = {
         "metric": "icecube_3y_templates_per_sec",
         "value": round(r3y["rate"], 3),
@@ -160,18 +267,40 @@ def _worker_headline():
     sys.stdout.flush()
     print(
         f"# icecube_3y: setup+compile {r3y['setup_compile_s']:.1f}s;"
-        f" {r3y['ms_per_template']:.1f} ms/template; {r3y['n_free']} free"
-        f" params; platform={jax.devices()[0].platform}",
+        f" {r3y['ms_per_template']:.3f} ms/template; {r3y['n_free']} free"
+        f" params; platform={platform}",
         file=sys.stderr,
     )
 
 
 def _worker_secondary():
-    """Batched/in-device rates + the oscillogram pipeline (stderr only)."""
+    """Dispatch-loop/batched rates + the oscillogram pipeline (stderr)."""
     import jax
     import jax.numpy as jnp
 
     from pisa_tpu.core.pipeline import Pipeline
+
+    # the literal analog of the reference's wall-clock loop: one host
+    # round-trip per template (dispatch-latency bound through the tunnel)
+    try:
+        rdisp = _bench_pipeline(
+            "settings/pipeline/IceCube_3y_neutrinos.cfg", n_templates=10
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "icecube_3y_dispatch_loop_templates_per_sec",
+                    "value": round(rdisp["rate"], 3),
+                    "unit": "templates/s",
+                    "vs_baseline": round(
+                        rdisp["rate"] / CPU_BASELINE["icecube_3y"], 2
+                    ),
+                }
+            ),
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# dispatch-loop bench failed: {exc}", file=sys.stderr)
 
     # batched evaluation (the scan/MCMC access pattern): vmap over many
     # parameter vectors per device call amortizes the per-call dispatch
@@ -296,6 +425,10 @@ def _wait_child(proc, timeout):
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        if _requested_platform != "cpu":
+            # overlap the tunnel's one-time first-sync block (93-460 s)
+            # with pipeline setup + compile
+            _start_tunnel_warmup()
         if sys.argv[2] == "headline":
             _worker_headline()
         elif sys.argv[2] == "secondary":
@@ -303,24 +436,48 @@ def main():
         return
 
     # Orchestrator: launch the accelerator leg AND the CPU insurance leg
-    # concurrently. The CPU leg completes in ~60 s and its result is used
-    # only if the accelerator leg fails or runs out of budget, so a hung
-    # tunnel can never leave the round without a recorded number.
-    headline = None
+    # concurrently. The CPU leg completes in ~110 s; its result is BANKED as
+    # soon as it lands and used only if the accelerator leg fails or runs
+    # out of budget, so the accelerator leg can be waited on until almost
+    # the full deadline (the tunnel's one-time first-sync block alone can
+    # eat 93-460 s) and a hung tunnel can never leave the round without a
+    # recorded number.
+    tpu_headline = None
+    cpu_headline = None
     tpu_proc = _spawn_child("headline")
     cpu_proc = _spawn_child("headline", extra_env={"JAX_PLATFORMS": "cpu"})
 
-    ok, out = _wait_child(tpu_proc, _remaining() - 35.0)
-    if ok and out.strip():
-        headline = out.strip().splitlines()[0]
-        _log("accelerator leg succeeded")
-        cpu_proc.kill()
-        cpu_proc.communicate()
-    else:
+    while _remaining() > 12.0:
+        if tpu_proc.poll() is not None:
+            ok, out = _wait_child(tpu_proc, 5.0)
+            if ok and out.strip():
+                tpu_headline = out.strip().splitlines()[0]
+                _log("accelerator leg succeeded")
+            else:
+                _log("accelerator leg exited without a result")
+            break
+        if cpu_headline is None and cpu_proc.poll() is not None:
+            ok, out = _wait_child(cpu_proc, 5.0)
+            if ok and out.strip():
+                cpu_headline = out.strip().splitlines()[0]
+                _log("CPU insurance result banked")
+        time.sleep(1.0)
+
+    headline = tpu_headline
+    if headline is None:
         _log("accelerator leg failed/timed out; using CPU insurance leg")
-        ok_cpu, out_cpu = _wait_child(cpu_proc, _remaining() - 15.0)
-        if ok_cpu and out_cpu.strip():
-            headline = out_cpu.strip().splitlines()[0]
+        if cpu_headline is None and cpu_proc.poll() is None:
+            # accelerator crashed early: give the still-running CPU leg the
+            # rest of the budget
+            ok, out = _wait_child(cpu_proc, _remaining() - 8.0)
+            if ok and out.strip():
+                cpu_headline = out.strip().splitlines()[0]
+        headline = cpu_headline
+
+    for proc in (tpu_proc, cpu_proc):
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
 
     if headline is None:
         # still print a schema-valid line rather than nothing
