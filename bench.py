@@ -208,25 +208,13 @@ def _bench_pipeline_indevice(
     n_free = len(v0)
     _log(f"{cfg}: setup done, {n_free} free params")
 
-    fn = ct._build_fn()
-
-    def one(v, data):
-        return sum(jnp.sum(h) for h in fn(v, data=data)["hist"].values())
-
-    @jax.jit
-    def scan_fn(vecs, data):
-        def step(carry, v):
-            return carry, one(v, data)
-
-        _, tots = jax.lax.scan(step, jnp.zeros(()), vecs)
-        return tots
-
     rng = np.random.RandomState(0)
-    vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free))
-    data = ct._data_vals
+    vecs = rng.uniform(0.05, 0.95, size=(n_templates, n_free)).astype(
+        np.float32
+    )
 
     tots = _retry_transient(
-        lambda: np.asarray(scan_fn(vecs, data)), label="compile"
+        lambda: np.asarray(ct.scan_totals(vecs)), label="compile"
     )
     assert np.all(np.isfinite(tots)), "non-finite template totals"
     t_compiled = time.time()
@@ -234,7 +222,7 @@ def _bench_pipeline_indevice(
 
     t0 = time.time()
     for i in range(reps):
-        np.asarray(scan_fn(vecs + (i + 1) * 1e-6, data))
+        np.asarray(ct.scan_totals(vecs + np.float32((i + 1) * 1e-6)))
     per_template = (time.time() - t0) / (n_templates * reps)
     return {
         "rate": 1.0 / per_template,

@@ -295,6 +295,7 @@ class CompiledTemplate:
         self._place_container_data()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
+        self._scan_totals_jit = None
         return self
 
     # -- evaluation -------------------------------------------------------------
@@ -309,6 +310,43 @@ class CompiledTemplate:
     def current_rescaled_values(self):
         return np.asarray(
             [p._rescaled_value for p in self._free_params], dtype=np.float64
+        )
+
+    def scan_totals(self, vecs, data=None):
+        """Summed-template totals for a sequence of rescaled parameter
+        vectors, evaluated back-to-back INSIDE one device program.
+
+        A ``lax.scan`` over the (n, n_free) parameter batch matches the
+        access pattern of the on-device fit loops
+        (:mod:`pisa_tpu.analysis.device_fit`) and of the reference's
+        pipeline benchmark — N randomized templates evaluated one after
+        another (``pisa/scripts/benchmark_pipeline_performance.py:196-223``)
+        — but needs a single dispatch/synchronization instead of one per
+        template, which matters through high-latency device transports.
+        Returns an (n,) array of per-template summed bin counts.
+        """
+        if getattr(self, "_scan_totals_jit", None) is None:
+            fn = self._build_fn()
+
+            @jax.jit
+            def scan_fn(vecs, los, his, data):
+                def step(carry, v):
+                    out = fn(v, los, his, data=data)
+                    tot = sum(jnp.sum(h) for h in out["hist"].values())
+                    return carry, tot
+
+                _, tots = jax.lax.scan(
+                    step, jnp.zeros((), dtype=vecs.dtype), vecs
+                )
+                return tots
+
+            self._scan_totals_jit = scan_fn
+        los, his = self._current_bounds()
+        return self._scan_totals_jit(
+            jnp.asarray(vecs),
+            jnp.asarray(los),
+            jnp.asarray(his),
+            self._data_vals if data is None else data,
         )
 
     def get_outputs(self, rescaled_vector=None) -> MapSet:

@@ -113,6 +113,28 @@ class TestExamplePipeline:
         tot_c = sum(float(np.asarray(h).sum()) for h in r["hist"].values())
         assert np.isclose(tot_c, tot, rtol=1e-6)
 
+    def test_scan_totals_matches_per_call(self):
+        """The in-device sequential-scan evaluation (bench.py's headline
+        procedure) must agree with one-call-per-template evaluation."""
+        import numpy as np
+        from pisa_tpu.core.pipeline import Pipeline
+
+        p = Pipeline("settings/pipeline/example.cfg")
+        ct = p.compile()
+        n_free = len(ct.current_rescaled_values())
+        vecs = np.random.RandomState(7).uniform(
+            0.2, 0.8, size=(4, n_free)
+        ).astype(np.float32)
+        scanned = np.asarray(ct.scan_totals(vecs))
+        singles = np.asarray(
+            [
+                sum(float(np.asarray(h).sum()) for h in ct(v)["hist"].values())
+                for v in vecs
+            ]
+        )
+        assert np.all(np.isfinite(scanned))
+        np.testing.assert_allclose(scanned, singles, rtol=2e-6)
+
     def test_param_selection_switch(self):
         import numpy as np
         from pisa_tpu.core.pipeline import Pipeline
