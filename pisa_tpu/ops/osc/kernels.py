@@ -555,6 +555,7 @@ def osc_probs_layers(
     decay_flag=False,
     chain_map=None,
     chain_order=None,
+    slot_index=None,
 ):
     """Oscillation probabilities through a chain of matter layers, batched
     over points (cf. ``osc_probs_layers_kernel``, ``numba_osc_kernels.py:122``).
@@ -579,6 +580,14 @@ def osc_probs_layers(
     distances : (N, L) layer path lengths (km); zero-length slots act as
         identity
     decay_flag : static bool
+    slot_index : optional (M_real,) int32, the flat layer-major indices
+        (layer * N + point) of the distance > 0 slots, precomputed on the
+        host from the static geometry. The per-layer transition algebra
+        (and, crucially, its backward pass) then runs only over real
+        slots instead of the zero-padded (L, N) rectangle — on PREM-12
+        chains (mean true length ~7 of 28 padded slots) a ~4x cut of the
+        dominant compute/HBM traffic. Ignored when `chain_map` is given
+        (the dedup path compacts differently).
 
     Returns
     -------
@@ -604,12 +613,13 @@ def osc_probs_layers(
             return osc_probs_layers_pallas(
                 dm_vac, U, mat_pot, lri_pot, nubar, energy, densities,
                 distances, interpret=(mode == "interpret"),
-                order=chain_order,
+                order=chain_order, slot_index=slot_index,
             )
 
     return _osc_probs_xla(
         dm_vac, U, mat_pot, mat_decay, lri_pot, nubar, energy, densities,
         distances, decay_flag=decay_flag, chain_map=chain_map,
+        slot_index=slot_index,
     )
 
 
@@ -648,9 +658,16 @@ def _osc_probs_xla(
     distances,
     decay_flag=False,
     chain_map=None,
+    slot_index=None,
 ):
     """XLA (lax.scan) implementation over normalized inputs; also serves as
-    the differentiation path for the Pallas kernel's custom VJP."""
+    the differentiation path for the Pallas kernel's custom VJP.
+
+    With `slot_index` (host-precomputed flat indices of the distance > 0
+    slots), the transition algebra runs over a compacted (M_real,) batch
+    and the results are scattered into an identity-filled (L, 3, 3, N)
+    stack — removing the padded-slot work from the forward AND from its
+    (traffic-dominated) backward pass."""
     H_vac = mat_to_C(get_H_vac(smat_view(U), dm_vac))
     if decay_flag:
         H_decay = mat_to_C(
@@ -672,17 +689,34 @@ def _osc_probs_xla(
     rho_flat = jnp.swapaxes(densities, 0, 1).reshape(-1)
     dist_flat = jnp.swapaxes(distances, 0, 1).reshape(-1)
 
-    T = _layer_transition_stacked(
-        nubar, e_flat, rho_flat, dist_flat, U, mat_pot, H_vac, H_decay,
-        lri_pot, dm_vac, decay_flag,
-    )
+    if slot_index is not None and chain_map is None:
+        slot_index = jnp.asarray(slot_index, dtype=jnp.int32)
+        T_s = _layer_transition_stacked(
+            nubar, e_flat[slot_index], rho_flat[slot_index],
+            dist_flat[slot_index], U, mat_pot, H_vac, H_decay, lri_pot,
+            dm_vac, decay_flag,
+        )
+        # scatter real-slot transitions into an identity-filled stack
+        # (padding slots act as identity in the chain product)
+        flat_n = n_layers * n_pts
+        T = C(
+            jnp.broadcast_to(eye[..., None], (3, 3, flat_n))
+            .at[:, :, slot_index].set(T_s.re),
+            jnp.zeros((3, 3, flat_n), dtype=energy.dtype)
+            .at[:, :, slot_index].set(T_s.im),
+        )
+    else:
+        T = _layer_transition_stacked(
+            nubar, e_flat, rho_flat, dist_flat, U, mat_pot, H_vac, H_decay,
+            lri_pot, dm_vac, decay_flag,
+        )
 
-    # zero-length padding slots act as identity
-    keep = dist_flat > 0.0
-    T = C(
-        jnp.where(keep, T.re, eye[..., None]),
-        jnp.where(keep, T.im, jnp.zeros((), dtype=energy.dtype)),
-    )
+        # zero-length padding slots act as identity
+        keep = dist_flat > 0.0
+        T = C(
+            jnp.where(keep, T.re, eye[..., None]),
+            jnp.where(keep, T.im, jnp.zeros((), dtype=energy.dtype)),
+        )
     # re-split the lane axis into a leading (L,) scan axis: (L, 3, 3, N)
     T_stack = C(
         T.re.reshape(3, 3, n_layers, n_pts).transpose(2, 0, 1, 3),

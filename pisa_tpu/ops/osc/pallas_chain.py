@@ -490,10 +490,25 @@ def chain_probs_pallas(
 
 
 def _probs_pallas_impl(
-    dm_vac, U, mat_pot, lri_pot, energy, densities, distances, *, nubar,
-    interpret=False,
+    dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order=None,
+    *, nubar, interpret=False,
 ):
     from pisa_tpu.ops.osc.kernels import mat_of, mat_to_C, smat_view
+
+    if order is not None:
+        # evaluate in chain-length-sorted order (per-block dynamic layer
+        # bounds bite), un-permute the result; geometry is static so the
+        # permutation and its inverse are precomputed host-side
+        inv = (
+            np.argsort(order)
+            if isinstance(order, np.ndarray)
+            else jnp.argsort(order)
+        )
+        probs = _probs_pallas_impl(
+            dm_vac, U, mat_pot, lri_pot, energy[order], densities[order],
+            distances[order], None, nubar=nubar, interpret=interpret,
+        )
+        return probs[inv]
 
     sign = 1.0 if nubar > 0 else -1.0
     Um = smat_view(U)
@@ -521,38 +536,60 @@ def _probs_pallas_impl(
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _probs_pallas_vjp(
     nubar, interpret, dm_vac, U, mat_pot, lri_pot, energy, densities,
-    distances,
+    distances, order, slot_index,
 ):
     return _probs_pallas_impl(
-        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order,
         nubar=nubar, interpret=interpret,
     )
 
 
 def _vjp_fwd(
     nubar, interpret, dm_vac, U, mat_pot, lri_pot, energy, densities,
-    distances,
+    distances, order, slot_index,
 ):
     out = _probs_pallas_impl(
-        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order,
         nubar=nubar, interpret=interpret,
     )
-    return out, (dm_vac, U, mat_pot, lri_pot, energy, densities, distances)
+    return out, (
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order,
+        slot_index,
+    )
+
+
+def _float0_zeros(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
 
 
 def _vjp_bwd(nubar, interpret, res, g):
-    # backward through the mathematically-identical XLA implementation
+    # Backward through the mathematically-identical XLA implementation,
+    # differentiating ONLY the physics inputs: energy / layer chains are
+    # parameter-independent container data, so their cotangents are never
+    # consumed — requesting them from jax.vjp would drag the whole
+    # phase/eigenvalue backward w.r.t. distances and densities along.
+    # `slot_index` (precomputed host-side) compacts the (layer, point)
+    # batch to the real (non-padding) slots, which cuts the dominant
+    # backward HBM traffic by the padding ratio (~4x on PREM-12 chains).
     from pisa_tpu.ops.osc.kernels import _osc_probs_xla
 
-    dm_vac, U, mat_pot, lri_pot, energy, densities, distances = res
+    (dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order,
+     slot_index) = res
     _, vjp = jax.vjp(
-        lambda dm, u, mp, lri, e, dn, dx: _osc_probs_xla(
-            dm, u, mp, None, lri, nubar, e, dn, dx,
-            decay_flag=False, chain_map=None,
+        lambda dm, u, mp, lri: _osc_probs_xla(
+            dm, u, mp, None, lri, nubar, energy, densities, distances,
+            decay_flag=False, chain_map=None, slot_index=slot_index,
         ),
-        dm_vac, U, mat_pot, lri_pot, energy, densities, distances,
+        dm_vac, U, mat_pot, lri_pot,
     )
-    return vjp(g)
+    d_dm, d_u, d_mp, d_lri = vjp(g)
+    return (
+        d_dm, d_u, d_mp, d_lri,
+        jnp.zeros_like(energy), jnp.zeros_like(densities),
+        jnp.zeros_like(distances),
+        None if order is None else _float0_zeros(order),
+        None if slot_index is None else _float0_zeros(slot_index),
+    )
 
 
 _probs_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
@@ -560,7 +597,7 @@ _probs_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 def osc_probs_layers_pallas(
     dm_vac, U, mat_pot, lri_pot, nubar, energy, densities, distances,
-    interpret=False, order=None,
+    interpret=False, order=None, slot_index=None,
 ):
     """Pallas-accelerated standard-path propagation (no decay, no
     chain-dedup). `U` is the already-conjugated (for nubar) PMNS C(3,3);
@@ -568,24 +605,19 @@ def osc_probs_layers_pallas(
 
     `order` (optional int array, a permutation of arange(N)): evaluate the
     points in this order — callers pass an argsort by chain length so each
-    (8, 128) kernel block holds similar-length chains and the per-block
-    dynamic layer bound bites (see :func:`chain_probs_pallas`). The
-    permutation is applied/inverted outside the custom_vjp, so gradients
-    flow through the gathers normally."""
+    kernel block holds similar-length chains and the per-block dynamic
+    layer bound bites (see :func:`chain_probs_pallas`). Applied inside the
+    primal; the result is returned in the original point order.
+
+    `slot_index` (optional int array): flat layer-major indices of the
+    non-padding (distance > 0) layer slots, precomputed host-side from the
+    static geometry; forwarded to the XLA backward pass, which then runs
+    the per-layer transition algebra only over real slots."""
     energy = jnp.asarray(energy)
     densities = jnp.asarray(densities)
     distances = jnp.asarray(distances)
-    if order is not None:
-        inv = np.argsort(order) if isinstance(order, np.ndarray) else (
-            jnp.argsort(order)
-        )
-        probs = _probs_pallas_vjp(
-            int(nubar), bool(interpret), jnp.asarray(dm_vac), U, mat_pot,
-            jnp.asarray(lri_pot), energy[order], densities[order],
-            distances[order],
-        )
-        return probs[inv]
     return _probs_pallas_vjp(
         int(nubar), bool(interpret), jnp.asarray(dm_vac), U, mat_pot,
-        jnp.asarray(lri_pot), energy, densities, distances,
+        jnp.asarray(lri_pot), energy, densities, distances, order,
+        slot_index,
     )

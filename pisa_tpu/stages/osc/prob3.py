@@ -253,6 +253,12 @@ class prob3(Stage):  # noqa: N801
                     np.count_nonzero(np.asarray(distances) > 0.0, axis=1),
                     kind="stable",
                 ).astype(np.int32)
+                # flat layer-major indices of the real (distance > 0) layer
+                # slots: the XLA/backward path then runs the transition
+                # algebra only over these instead of the padded rectangle
+                container["layer_slot_index"] = np.flatnonzero(
+                    np.swapaxes(np.asarray(distances), 0, 1).ravel() > 0.0
+                ).astype(np.int32)
         self.data.unlink_containers()
 
     # -- compute --------------------------------------------------------------
@@ -401,6 +407,11 @@ class prob3(Stage):  # noqa: N801
                 if not self.layer_dedup and "layer_chain_order" in container
                 else None
             )
+            slot_index = (
+                jnp.asarray(container["layer_slot_index"])
+                if not self.layer_dedup and "layer_slot_index" in container
+                else None
+            )
             probs = osc_probs_layers(
                 dm,
                 mix,
@@ -414,6 +425,7 @@ class prob3(Stage):  # noqa: N801
                 decay_flag=bool(self.neutrino_decay),
                 chain_map=chain_map,
                 chain_order=chain_order,
+                slot_index=slot_index,
             )
             container["probability"] = probs
             container.mark_changed("probability")
