@@ -169,6 +169,77 @@ def test_chain_order_permutation_invariance():
     np.testing.assert_allclose(sorted_path, ref, atol=2e-5)
 
 
+def test_slot_index_compaction_parity():
+    """The slot-compacted XLA path (transition algebra only over real
+    distance>0 slots, identity-scattered back) must match the padded path
+    in values AND parameter gradients at fp64 machine precision."""
+    e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(
+        n=96, n_layers=6, seed=3
+    )
+    rng = np.random.RandomState(5)
+    nl = rng.randint(1, 7, e.size)
+    for i, k in enumerate(nl):
+        dist[i, k:] = 0.0
+        dens[i, k:] = 0.0
+    slot = np.flatnonzero(
+        np.swapaxes(dist, 0, 1).ravel() > 0.0
+    ).astype(np.int32)
+    assert 0 < len(slot) < dist.size
+
+    for nubar in (1, -1):
+        p0 = np.asarray(
+            osc_probs_layers(
+                dm, mix, mat_pot, mat_decay, lri, nubar, e, dens, dist
+            )
+        )
+        p1 = np.asarray(
+            osc_probs_layers(
+                dm, mix, mat_pot, mat_decay, lri, nubar, e, dens, dist,
+                slot_index=jnp.asarray(slot),
+            )
+        )
+        np.testing.assert_allclose(p1, p0, atol=1e-13)
+
+    def loss(dm31, slot_index):
+        dmv = dm_matrix(7.4e-5, dm31)
+        probs = osc_probs_layers(
+            dmv, mix, mat_pot, mat_decay, lri, 1, jnp.asarray(e),
+            jnp.asarray(dens), jnp.asarray(dist), slot_index=slot_index,
+        )
+        return jnp.sum(probs[:, 1, 1] ** 2)
+
+    g0 = float(jax.grad(lambda d: loss(d, None))(2.5e-3))
+    g1 = float(
+        jax.grad(lambda d: loss(d, jnp.asarray(slot)))(2.5e-3)
+    )
+    assert abs(g1 - g0) <= 1e-10 * abs(g0)
+
+
+def test_slot_index_through_pallas_vjp():
+    """slot_index forwarded through the Pallas custom_vjp must leave the
+    gradient unchanged (the backward pass uses the compacted XLA path)."""
+    e, dens, dist, mix, _, mat_pot, mat_decay, lri = _setup(
+        n=32, n_layers=3
+    )
+    slot = np.flatnonzero(
+        np.swapaxes(dist, 0, 1).ravel() > 0.0
+    ).astype(np.int32)
+    ej, dnj, dxj = jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist)
+
+    def loss(dm31, **kw):
+        dm = dm_matrix(7.4e-5, dm31)
+        probs = osc_probs_layers_pallas(
+            dm, mix, mat_pot, lri, 1, ej, dnj, dxj, interpret=True, **kw
+        )
+        return jnp.sum(probs[:, 1, 1])
+
+    g0 = float(jax.grad(loss)(2.5e-3))
+    g1 = float(
+        jax.grad(lambda d: loss(d, slot_index=jnp.asarray(slot)))(2.5e-3)
+    )
+    assert abs(g1 - g0) <= 1e-10 * abs(g0)
+
+
 def test_odd_sizes_padding():
     """N not a multiple of the 1024-point block must pad transparently."""
     e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(n=96)
