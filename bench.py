@@ -232,6 +232,35 @@ def _bench_pipeline_indevice(
     }
 
 
+def _bench_pipeline_eager(cfg, n_templates=5):
+    """Eager per-template evaluation (`Pipeline.get_outputs()` per call) for
+    pipelines that are not fully jit-traceable (the KDE stage's ISJ
+    bandwidth selection runs host-side, as the reference's does)."""
+    import numpy as np
+
+    from pisa_tpu.core.pipeline import Pipeline
+
+    t_setup = time.time()
+    pipeline = Pipeline(cfg)
+    free = pipeline.params.free
+    pipeline.get_outputs()  # excluded first call (compile+setup)
+    t_compiled = time.time()
+
+    rng = np.random.RandomState(0)
+    t0 = time.time()
+    for _ in range(n_templates):
+        for p in free:
+            p._rescaled_value = float(rng.uniform(0.35, 0.65))
+        pipeline.get_outputs()
+    per_template = (time.time() - t0) / n_templates
+    return {
+        "rate": 1.0 / per_template,
+        "ms_per_template": per_template * 1000,
+        "setup_compile_s": t_compiled - t_setup,
+        "n_free": len(free),
+    }
+
+
 def _worker_headline():
     """Measure the flagship pipeline; print the ONE stdout JSON line."""
     import jax
@@ -355,28 +384,32 @@ def _worker_secondary():
     except Exception as exc:
         print(f"# batched bench failed: {exc}", file=sys.stderr)
 
-    try:
-        rosc = _bench_pipeline("settings/pipeline/osc_example.cfg")
-        print(
-            json.dumps(
-                {
-                    "metric": "osc_example_templates_per_sec",
-                    "value": round(rosc["rate"], 3),
-                    "unit": "templates/s",
-                    "vs_baseline": round(
-                        rosc["rate"] / CPU_BASELINE["osc_example"], 2
-                    ),
-                }
-            ),
-            file=sys.stderr,
-        )
-        print(
-            f"# osc_example: setup+compile {rosc['setup_compile_s']:.1f}s;"
-            f" {rosc['ms_per_template']:.1f} ms/template",
-            file=sys.stderr,
-        )
-    except Exception as exc:  # secondary workload must not kill the bench
-        print(f"# osc_example bench failed: {exc}", file=sys.stderr)
+    for name, cfg, baseline, benchfn in (
+        ("osc_example", "settings/pipeline/osc_example.cfg",
+         CPU_BASELINE["osc_example"], _bench_pipeline),
+        ("kde_example", "settings/pipeline/kde_example.cfg", None,
+         _bench_pipeline_eager),
+    ):
+        if _remaining() < 60.0:
+            print(f"# skipping {name}: out of budget", file=sys.stderr)
+            continue
+        try:
+            r = benchfn(cfg, n_templates=10)
+            rec = {
+                "metric": f"{name}_templates_per_sec",
+                "value": round(r["rate"], 3),
+                "unit": "templates/s",
+            }
+            if baseline:
+                rec["vs_baseline"] = round(r["rate"] / baseline, 2)
+            print(json.dumps(rec), file=sys.stderr)
+            print(
+                f"# {name}: setup+compile {r['setup_compile_s']:.1f}s;"
+                f" {r['ms_per_template']:.1f} ms/template",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # secondary must not kill the bench
+            print(f"# {name} bench failed: {exc}", file=sys.stderr)
 
 
 def _spawn_child(mode, extra_env=None, to_file=None):
