@@ -411,6 +411,38 @@ def _worker_secondary():
         except Exception as exc:  # secondary must not kill the bench
             print(f"# {name} bench failed: {exc}", file=sys.stderr)
 
+    # hypersurface-fit wall-clock (BASELINE workload 4): vmapped per-bin
+    # Gauss-Newton over a 5-dataset toy ensemble
+    if _remaining() > 60.0:
+        try:
+            from pisa_tpu.scripts.fit_hypersurfaces import (
+                fit_hypersurfaces_from_pipeline,
+            )
+
+            t0 = time.time()
+            fit_hypersurfaces_from_pipeline(
+                pipeline_cfg="settings/pipeline/toy_generalized_llh.cfg",
+                params={"aeff_scale": "linear"},
+                nominal_param_values={"aeff_scale": 1.0},
+                sys_param_values=[
+                    {"aeff_scale": v} for v in (0.8, 0.9, 1.1, 1.2)
+                ],
+                norm=True,
+            )
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "metric": "hypersurface_fit_wall_s",
+                        "value": round(dt, 2),
+                        "unit": "s",
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# hypersurface-fit bench failed: {exc}", file=sys.stderr)
+
 
 def _spawn_child(mode, extra_env=None, to_file=None):
     """Start `python bench.py --worker <mode>` without waiting.
