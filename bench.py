@@ -443,6 +443,55 @@ def _worker_secondary():
         except Exception as exc:
             print(f"# hypersurface-fit bench failed: {exc}", file=sys.stderr)
 
+    # Asimov fit wall-clock (BASELINE workload 5): full bounded L-BFGS
+    # truth-recovery fit in ONE device program, through the public
+    # Analysis "device" method (cf. tests/test_device_fit.py)
+    if _remaining() > 60.0:
+        try:
+            from pisa_tpu.analysis.analysis import Analysis
+            from pisa_tpu.core.distribution_maker import DistributionMaker
+
+            hm = DistributionMaker(
+                ["settings/pipeline/toy_flux_fit.cfg"], label="toyflux"
+            )
+            truth = {
+                "delta_index": 0.0, "theta23": 0.85, "aeff_scale": 1.2
+            }
+            for pname, val in truth.items():
+                hm.params[pname].value = val
+            data = hm.get_outputs(return_sum=True)
+            hm.reset_free()
+
+            def _one_fit():
+                hm.params["delta_index"].value = -0.05
+                hm.params["theta23"].value = 0.95
+                hm.params["aeff_scale"].value = 0.8
+                return Analysis().fit_recursively(
+                    data, hm, "mod_chi2", None, "device", {}, None
+                )
+
+            _retry_transient(_one_fit, label="fit-compile")  # excluded
+            t0 = time.time()
+            res = _retry_transient(_one_fit, label="fit")
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "metric": "asimov_fit_wall_s",
+                        "value": round(dt, 3),
+                        "unit": "s",
+                    }
+                ),
+                file=sys.stderr,
+            )
+            print(
+                f"# asimov fit: metric_val {res.metric_val:.2e},"
+                f" {res.minimizer_metadata.get('nit')} iterations",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# asimov-fit bench failed: {exc}", file=sys.stderr)
+
 
 def _spawn_child(mode, extra_env=None, to_file=None):
     """Start `python bench.py --worker <mode>` without waiting.
