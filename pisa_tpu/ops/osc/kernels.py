@@ -542,7 +542,7 @@ def _layer_transition_stacked(
 # Full propagation
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("nubar", "decay_flag"))
-def osc_probs_layers(
+def _osc_probs_layers_jit(
     dm_vac,
     mix,
     mat_pot,
@@ -620,6 +620,56 @@ def osc_probs_layers(
         dm_vac, U, mat_pot, mat_decay, lri_pot, nubar, energy, densities,
         distances, decay_flag=decay_flag, chain_map=chain_map,
         slot_index=slot_index,
+    )
+
+
+def osc_probs_layers(
+    dm_vac,
+    mix,
+    mat_pot,
+    mat_decay,
+    lri_pot,
+    nubar,
+    energy,
+    densities,
+    distances,
+    decay_flag=False,
+    chain_map=None,
+    chain_order=None,
+    slot_index=None,
+):
+    """Public entry: see :func:`_osc_probs_layers_jit` for semantics.
+
+    Eager calls (concrete arrays) additionally validate `slot_index`
+    against `distances` before entering the jitted program: an index set
+    that omits a real (distance > 0) layer slot would otherwise silently
+    turn that layer into an identity transition. Inside an outer trace
+    (the compiled-template path) the caller — ``stages/osc/prob3.py`` —
+    recomputes the indices together with the chains, so they are
+    consistent by construction."""
+    if (
+        slot_index is not None
+        and chain_map is None
+        and not isinstance(distances, jax.core.Tracer)
+        and not isinstance(slot_index, jax.core.Tracer)
+    ):
+        expected = np.flatnonzero(
+            np.swapaxes(np.asarray(distances), 0, 1).ravel() > 0.0
+        )
+        given = np.sort(np.asarray(slot_index).ravel())
+        if given.size != expected.size or not np.array_equal(
+            given, expected
+        ):
+            raise ValueError(
+                "slot_index inconsistent with distances: expected the flat"
+                f" layer-major indices of the {expected.size} distance>0"
+                f" slots, got {given.size} indices. Recompute slot_index"
+                " whenever the layer chains change."
+            )
+    return _osc_probs_layers_jit(
+        dm_vac, mix, mat_pot, mat_decay, lri_pot, nubar, energy, densities,
+        distances, decay_flag=decay_flag, chain_map=chain_map,
+        chain_order=chain_order, slot_index=slot_index,
     )
 
 

@@ -603,6 +603,13 @@ def osc_probs_layers_pallas(
     chain-dedup). `U` is the already-conjugated (for nubar) PMNS C(3,3);
     differentiable w.r.t. (dm_vac, U, mat_pot, lri_pot) via the XLA VJP.
 
+    .. warning:: cotangents for ``energy``/``densities``/``distances`` are
+       DEFINED AS ZERO on this path: they are parameter-independent
+       geometry in every pipeline use, and skipping them removes the
+       dominant share of the backward pass. Differentiating w.r.t. the
+       geometry itself (e.g. a traceable density scaling) must use the XLA
+       path (``PISA_TPU_OSC_PALLAS=off``), which returns true cotangents.
+
     `order` (optional int array, a permutation of arange(N)): evaluate the
     points in this order — callers pass an argsort by chain length so each
     kernel block holds similar-length chains and the per-block dynamic
