@@ -673,6 +673,26 @@ def osc_probs_layers(
     )
 
 
+# Whether 'auto' grad mode uses the in-kernel forward-mode (JVP) backward
+# on the Pallas path. Kept False until the tangent kernel's Mosaic compile
+# is validated on real TPU hardware (interpret-mode semantics are pinned
+# by tests/test_pallas_chain.py::test_fwdgrad_values_and_gradients).
+PALLAS_JVP_AUTO = False
+
+
+def osc_grad_mode():
+    """Gradient-path selector for the Pallas primal: 'jvp' (K in-kernel
+    forward-mode tangents at the physics-scalar boundary) or 'xla'
+    (reverse mode through the XLA formulation). Env `PISA_TPU_OSC_GRAD`:
+    'auto' (default), 'jvp', 'xla'."""
+    import os
+
+    mode = os.environ.get("PISA_TPU_OSC_GRAD", "auto").lower()
+    if mode == "auto":
+        return "jvp" if PALLAS_JVP_AUTO else "xla"
+    return mode
+
+
 def _pallas_mode():
     """Select the Pallas chain-kernel mode from `PISA_TPU_OSC_PALLAS`:
     'auto' (default; compiled kernel iff the default backend is TPU),

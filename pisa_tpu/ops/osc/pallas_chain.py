@@ -77,7 +77,12 @@ from pisa_tpu.ops.osc.kernels import (
     mat_mul,
 )
 
-__all__ = ["osc_probs_layers_pallas", "chain_probs_pallas"]
+__all__ = [
+    "osc_probs_layers_pallas",
+    "osc_probs_layers_pallas_fwdgrad",
+    "chain_probs_pallas",
+    "chain_tangent_pallas",
+]
 
 import os as _os
 
@@ -121,22 +126,21 @@ def _atan2_pos(y, x):
     return jnp.where(x < 0, jnp.pi - a, a)
 
 
-def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
-                  n_layers):
-    """One block of points: full layer-chain propagation in registers.
+def _chain_block_math(p, nl, e, dens_get, dist_get):
+    """Full layer-chain propagation for one block of points, as a pure
+    function of the packed parameter SCALARS — so the tangent kernel can
+    differentiate it with an in-body ``jax.jvp``.
 
-    Packed params (SMEM): U re/im at 0/9, M_eff re/im at 18/27,
-    L_eff re/im at 36/45, dm_vac[:, 0] at 54..56. ``nl_ref`` (SMEM) holds
-    this block's layer-loop bound: the longest chain among the block's
-    points (most Earth chains are far shorter than the padded `n_layers` —
-    2 slots for the downgoing sky vs ~24 through the core — so a dynamic
-    per-block bound skips most of the padding; cf. the reference's
-    in-kernel layer cache, ``numba_osc_kernels.py:224-271``, which attacks
-    the same redundancy point-by-point)."""
+    Parameters: ``p(k)`` returns packed scalar k (see layout below);
+    ``nl`` is the block's layer-loop bound; ``e`` the (BLOCK_ROWS, LANES)
+    energies; ``dens_get(l)``/``dist_get(l)`` return layer l's
+    (BLOCK_ROWS, LANES) slab (a ref load in the primal kernel, a
+    dynamic-slice of a preloaded value in the tangent kernel). Returns the
+    nested ``[a][b]`` list of |amplitude|^2 blocks (a = initial nu_e/nu_mu
+    state, b = final flavor).
 
-    def p(k):
-        return pp_ref[0, k]
-
+    Packed params: U re/im at 0/9, M_eff re/im at 18/27, L_eff re/im at
+    36/45, dm_vac[:, 0] at 54..56."""
     U = [
         [C(p(3 * i + j), p(9 + 3 * i + j)) for j in range(3)]
         for i in range(3)
@@ -151,7 +155,6 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
     ]
     dm00, dm10, dm20 = p(54), p(55), p(56)
 
-    e = e_ref[:]  # (BLOCK_ROWS, LANES)
     dtype = e.dtype
     one_over_two_e = 0.5 / e
     two_e = 2.0 * e
@@ -211,8 +214,8 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
 
     def body(layer, carry):
         V = unflat(carry)
-        rho = dens_ref[layer]
-        dx = dist_ref[layer]
+        rho = dens_get(layer)
+        dx = dist_get(layer)
         a = (0.5 * TWO_SQRT2_GF) * rho
 
         # mass-basis Hamiltonian, Hermitian triangle:
@@ -373,21 +376,80 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
         [C(U[a][i].re * ones, -U[a][i].im * ones) for i in range(3)]
         for a in range(2)
     ]
-    carry = jax.lax.fori_loop(
-        0, nl_ref[pl.program_id(0), 0], body, flat(init)
-    )
+    carry = jax.lax.fori_loop(0, nl, body, flat(init))
     V = unflat(carry)
 
     # back to the flavor basis: F[b][a] = (U v_a)[b];
     # probs[n, a, b] = |F[b][a]|^2
+    vals = []
     for a in range(2):
+        row = []
         for b in range(3):
             f = (
                 U[b][0] * V[a][0]
                 + U[b][1] * V[a][1]
                 + U[b][2] * V[a][2]
             )
-            out_ref[a, b] = f.abs2()
+            row.append(f.abs2())
+        vals.append(row)
+    return vals
+
+
+def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
+                  n_layers, nl_by_pid=True):
+    """Primal kernel: thin ref-plumbing wrapper over
+    :func:`_chain_block_math`. ``nl_ref`` (SMEM) holds the per-block
+    layer-loop bound: the longest chain among the block's points (most
+    Earth chains are far shorter than the padded `n_layers` — 2 slots for
+    the downgoing sky vs ~24 through the core — so a dynamic per-block
+    bound skips most of the padding; cf. the reference's in-kernel layer
+    cache, ``numba_osc_kernels.py:224-271``)."""
+    nl = nl_ref[pl.program_id(0), 0] if nl_by_pid else nl_ref[0, 0]
+    vals = _chain_block_math(
+        lambda k: pp_ref[0, k],
+        nl,
+        e_ref[:],
+        lambda l: dens_ref[l],
+        lambda l: dist_ref[l],
+    )
+    for a in range(2):
+        for b in range(3):
+            out_ref[a, b] = vals[a][b]
+
+
+def _chain_tangent_kernel(
+    pp_ref, dpp_ref, nl_ref, e_ref, dens_ref, dist_ref, dout_ref, *,
+    n_layers,
+):
+    """Forward-mode tangent kernel: d(probs)/dt for one tangent direction
+    of the packed parameter vector, via an IN-BODY ``jax.jvp`` of the same
+    block math the primal kernel runs (dual-number arithmetic compiles to
+    ~2x the primal's VPU work; geometry inputs are closure-captured
+    constants with zero tangent)."""
+    nl = nl_ref[0, 0]
+    e = e_ref[:]
+    dens = dens_ref[...]
+    dist = dist_ref[...]
+    pvals = tuple(pp_ref[0, k] for k in range(57))
+    dpvals = tuple(dpp_ref[0, k] for k in range(57))
+
+    def fn(pv):
+        return _chain_block_math(
+            lambda k: pv[k],
+            nl,
+            e,
+            lambda l: jax.lax.dynamic_index_in_dim(
+                dens, l, axis=0, keepdims=False
+            ),
+            lambda l: jax.lax.dynamic_index_in_dim(
+                dist, l, axis=0, keepdims=False
+            ),
+        )
+
+    _, dvals = jax.jvp(fn, (pvals,), (dpvals,))
+    for a in range(2):
+        for b in range(3):
+            dout_ref[a, b] = dvals[a][b]
 
 
 def _pack_params(U, M_eff, L_eff, dm_vac, dtype):
@@ -407,16 +469,10 @@ def _pack_params(U, M_eff, L_eff, dm_vac, dtype):
     ).reshape(1, -1)
 
 
-def chain_probs_pallas(
-    pvec, energy, densities, distances, *, interpret=False
-):
-    """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
-    (N, L). Returns probs (N, 3, 3).
-
-    Each block's layer loop runs only to the longest chain in the block
-    (trailing zero-length slots are skipped entirely); callers that sort
-    points by chain length first (see ``osc_probs_layers_pallas(order=)``)
-    turn that into a ~mean-chain-length trip count."""
+def _prep_blocks(energy, densities, distances):
+    """Pad/reshape the point batch into (rows, LANES) blocks and compute
+    per-block dynamic layer bounds. Returns
+    (e2, dens, dist, nl_blocks, rows, grid, n_pad)."""
     dtype = energy.dtype
     n = energy.shape[0]
     n_layers = densities.shape[1]
@@ -449,17 +505,50 @@ def chain_probs_pallas(
     nl_blocks = (
         jnp.pad(nl, (0, n_pad - n)).reshape(grid, block).max(axis=1)
     ).reshape(grid, 1)
+    return e2, dens, dist, nl_blocks, rows, grid, n_pad
+
+
+def chain_probs_pallas(
+    pvec, energy, densities, distances, *, interpret=False,
+    jvp_friendly=False, raw=False,
+):
+    """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
+    (N, L). Returns probs (N, 3, 3).
+
+    Each block's layer loop runs only to the longest chain in the block
+    (trailing zero-length slots are skipped entirely); callers that sort
+    points by chain length first (see ``osc_probs_layers_pallas(order=)``)
+    turn that into a ~mean-chain-length trip count.
+
+    ``jvp_friendly=True`` switches the per-block layer-bound plumbing from
+    program_id indexing to a (1, 1)-blocked ref so that jax's built-in
+    pallas JVP rule can re-trace the kernel — the forward-mode gradient
+    path (:func:`osc_probs_layers_pallas_fwdgrad`) requires it."""
+    dtype = energy.dtype
+    n = energy.shape[0]
+    n_layers = densities.shape[1]
+    e2, dens, dist, nl_blocks, rows, grid, n_pad = _prep_blocks(
+        energy, densities, distances
+    )
 
     out = pl.pallas_call(
-        partial(_chain_kernel, n_layers=n_layers),
+        partial(
+            _chain_kernel, n_layers=n_layers, nl_by_pid=not jvp_friendly
+        ),
         out_shape=jax.ShapeDtypeStruct((2, 3, rows, LANES), dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
             # whole bounds vector in SMEM (Mosaic requires SMEM blocks to
-            # cover full array dims); the kernel indexes by program_id
+            # cover full array dims); the kernel indexes by program_id —
+            # except on the JVP path, where a (1, 1) block replaces the
+            # program_id call the JVP re-trace cannot handle
             pl.BlockSpec(
                 (grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+            if not jvp_friendly
+            else pl.BlockSpec(
+                (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (BLOCK_ROWS, LANES), lambda i: (i, 0),
@@ -485,8 +574,59 @@ def chain_probs_pallas(
     # nu_e / nu_mu initial states — the tau row follows exactly from
     # double stochasticity of |unitary|^2 (column sums are 1)
     p2 = out.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
+    if raw:
+        return p2
+    return _tau_epilogue(p2)
+
+
+def _tau_epilogue(p2):
+    """(N, 2, 3) e/mu-state rows -> (N, 3, 3) with the tau row from double
+    stochasticity (|U|^2 of a unitary has unit column sums)."""
     tau_row = jnp.maximum(1.0 - p2[:, 0, :] - p2[:, 1, :], 0.0)
     return jnp.concatenate([p2, tau_row[:, None, :]], axis=1)
+
+
+def chain_tangent_pallas(
+    pvec, dpvec, energy, densities, distances, *, interpret=False
+):
+    """Forward-mode tangent of :func:`chain_probs_pallas` (raw (N, 2, 3)
+    output) for ONE tangent direction `dpvec` of the packed parameters,
+    via the in-body-jvp tangent kernel."""
+    dtype = energy.dtype
+    n = energy.shape[0]
+    n_layers = densities.shape[1]
+    e2, dens, dist, nl_blocks, rows, grid, n_pad = _prep_blocks(
+        energy, densities, distances
+    )
+
+    dout = pl.pallas_call(
+        partial(_chain_tangent_kernel, n_layers=n_layers),
+        out_shape=jax.ShapeDtypeStruct((2, 3, rows, LANES), dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 3, BLOCK_ROWS, LANES), lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(pvec, dpvec, nl_blocks, e2, dens, dist)
+    return dout.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
 
 
 def _probs_pallas_impl(
@@ -510,6 +650,20 @@ def _probs_pallas_impl(
         )
         return probs[inv]
 
+    pvec = _pack_from_physics(
+        dm_vac, U, mat_pot, lri_pot, nubar, energy.dtype
+    )
+    return chain_probs_pallas(
+        pvec, energy, densities, distances, interpret=interpret
+    )
+
+
+def _pack_from_physics(dm_vac, U, mat_pot, lri_pot, nubar, dtype):
+    """(dm_vac, U, mat_pot, lri_pot) physics matrices -> packed (1, 57)
+    kernel parameter vector (mass-basis effective matter/LRI terms,
+    nubar sign folded in). Differentiable jnp code."""
+    from pisa_tpu.ops.osc.kernels import mat_of, mat_to_C, smat_view
+
     sign = 1.0 if nubar > 0 else -1.0
     Um = smat_view(U)
     # flavor-basis matter potential per unit a: mat_pot (nu) or
@@ -527,10 +681,7 @@ def _probs_pallas_impl(
            for j in range(3)] for i in range(3)]
     L_eff = mat_to_C(mat_mul(mat_mul(mat_conj_T(Um), Lm), Um))
 
-    pvec = _pack_params(U, M_eff, L_eff, dm_vac, energy.dtype)
-    return chain_probs_pallas(
-        pvec, energy, densities, distances, interpret=interpret
-    )
+    return _pack_params(U, M_eff, L_eff, dm_vac, dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -593,6 +744,136 @@ def _vjp_bwd(nubar, interpret, res, g):
 
 
 _probs_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------------------------------
+# Forward-mode gradient path: custom VJP at the physics-scalar boundary.
+# The backward pass runs K in-kernel tangent propagations (dual-number
+# forward mode inside the Pallas kernel) instead of reverse-mode through
+# the XLA layer-chain formulation — removing the backward's (L x N)
+# transition-algebra HBM traffic entirely. Standard 3-flavor path only
+# (matter potential incl. NLO factor and LRI are non-differentiated
+# constants here; NSI/decay fits use the XLA VJP path).
+# ------------------------------------------------------------------------
+
+
+def _build_standard(theta, reparam, nubar, nlo_factor, dtype):
+    """theta = (theta12, theta13, theta23, deltacp, dm21, dm31) [rad, eV^2]
+    -> (dm_vac, U, mat_pot, lri_pot) for the standard matter path."""
+    from pisa_tpu.ops.osc.pmns import (
+        dm_matrix,
+        pmns_matrix,
+        pmns_matrix_reparam,
+    )
+
+    t12, t13, t23, dcp, dm21, dm31 = (theta[i] for i in range(6))
+    fn = pmns_matrix_reparam if reparam else pmns_matrix
+    mix = fn(jnp.sin(t12), jnp.sin(t13), jnp.sin(t23), dcp)
+    U = mix if nubar > 0 else mix.conj()
+    dm_vac = dm_matrix(dm21, dm31)
+    mat_pot = C.of(
+        np.diag([float(nlo_factor), 0.0, 0.0]).astype(np.complex128)
+    )
+    lri_pot = jnp.zeros((3, 3), dtype)
+    return dm_vac, U, mat_pot, lri_pot
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _probs_pallas_fwdgrad(
+    nubar, reparam, nlo_factor, interpret, theta, energy, densities,
+    distances, order,
+):
+    dm_vac, U, mat_pot, lri_pot = _build_standard(
+        theta, reparam, nubar, nlo_factor, energy.dtype
+    )
+    return _probs_pallas_impl(
+        dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order,
+        nubar=nubar, interpret=interpret,
+    )
+
+
+def _fwdgrad_fwd(
+    nubar, reparam, nlo_factor, interpret, theta, energy, densities,
+    distances, order,
+):
+    dtype = energy.dtype
+    if order is not None:
+        e_s, dn_s, dx_s = energy[order], densities[order], distances[order]
+    else:
+        e_s, dn_s, dx_s = energy, densities, distances
+    dm_vac, U, mat_pot, lri_pot = _build_standard(
+        theta, reparam, nubar, nlo_factor, dtype
+    )
+    pvec = _pack_from_physics(dm_vac, U, mat_pot, lri_pot, nubar, dtype)
+    # raw (pre-tau-row) primal: saved so the backward can linearize the
+    # clamped tau reconstruction without re-running the kernel
+    p2 = chain_probs_pallas(
+        pvec, e_s, dn_s, dx_s, interpret=interpret, raw=True
+    )
+    probs_s = _tau_epilogue(p2)
+    if order is not None:
+        inv = (
+            np.argsort(order)
+            if isinstance(order, np.ndarray)
+            else jnp.argsort(order)
+        )
+        probs = probs_s[inv]
+    else:
+        probs = probs_s
+    return probs, (theta, energy, densities, distances, order, p2)
+
+
+def _fwdgrad_bwd(nubar, reparam, nlo_factor, interpret, res, g):
+    theta, energy, densities, distances, order, p2 = res
+    dtype = energy.dtype
+    if order is not None:
+        e_s, dn_s, dx_s = energy[order], densities[order], distances[order]
+        g_s = g[order]  # probs = probs_s[argsort(order)] => cot_s = g[order]
+    else:
+        e_s, dn_s, dx_s = energy, densities, distances
+        g_s = g
+
+    def theta_to_pvec(th):
+        dm_vac, U, mat_pot, lri_pot = _build_standard(
+            th, reparam, nubar, nlo_factor, dtype
+        )
+        return _pack_from_physics(dm_vac, U, mat_pot, lri_pot, nubar, dtype)
+
+    pvec = theta_to_pvec(theta)
+    k_dim = theta.shape[0]
+    grads = []
+    for k in range(k_dim):
+        e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
+        _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
+        dp2 = chain_tangent_pallas(
+            pvec, dpvec, e_s, dn_s, dx_s, interpret=interpret
+        )
+        _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
+        grads.append(jnp.sum(g_s * dprobs_s))
+    dtheta = jnp.stack(grads).astype(theta.dtype)
+    return (
+        dtheta, jnp.zeros_like(energy), jnp.zeros_like(densities),
+        jnp.zeros_like(distances),
+        None if order is None else _float0_zeros(order),
+    )
+
+
+_probs_pallas_fwdgrad.defvjp(_fwdgrad_fwd, _fwdgrad_bwd)
+
+
+def osc_probs_layers_pallas_fwdgrad(
+    theta, nubar, energy, densities, distances, reparam=False,
+    nlo_factor=1.0, interpret=False, order=None,
+):
+    """Standard-path propagation with the forward-mode (in-kernel JVP)
+    gradient: differentiable w.r.t. ``theta`` = (theta12, theta13,
+    theta23, deltacp, dm21, dm31); geometry cotangents are zero (see
+    :func:`osc_probs_layers_pallas`)."""
+    return _probs_pallas_fwdgrad(
+        int(nubar), bool(reparam), float(nlo_factor), bool(interpret),
+        jnp.asarray(theta), jnp.asarray(energy), jnp.asarray(densities),
+        jnp.asarray(distances), order,
+    )
 
 
 def osc_probs_layers_pallas(

@@ -395,6 +395,37 @@ class prob3(Stage):  # noqa: N801
         )
         dm = dm_matrix(dm21, dm31)
 
+        # forward-mode (in-kernel JVP) gradient path: standard 3-flavor
+        # matter oscillations on the Pallas kernel, gradients via K tangent
+        # propagations at the physics-scalar boundary instead of reverse
+        # mode through the XLA formulation (see
+        # ops/osc/pallas_chain.osc_probs_layers_pallas_fwdgrad)
+        from pisa_tpu.ops.osc.kernels import _pallas_mode, osc_grad_mode
+
+        pallas_mode = _pallas_mode()
+        use_fwdgrad = (
+            pallas_mode is not None
+            and osc_grad_mode() == "jvp"
+            and not self.neutrino_decay
+            and self.nsi_type is None
+            and self.lri_type is None
+            and not self.layer_dedup
+        )
+        theta_vec = (
+            jnp.stack(
+                [
+                    jnp.asarray(theta12, dtype=FTYPE),
+                    jnp.asarray(theta13, dtype=FTYPE),
+                    jnp.asarray(theta23, dtype=FTYPE),
+                    jnp.asarray(deltacp, dtype=FTYPE),
+                    jnp.asarray(dm21, dtype=FTYPE),
+                    jnp.asarray(dm31, dtype=FTYPE),
+                ]
+            )
+            if use_fwdgrad
+            else None
+        )
+
         ctype = np.complex128 if FTYPE == np.float64 else np.complex64
         for container in self.data:
             chain_map = (
@@ -412,21 +443,38 @@ class prob3(Stage):  # noqa: N801
                 if not self.layer_dedup and "layer_slot_index" in container
                 else None
             )
-            probs = osc_probs_layers(
-                dm,
-                mix,
-                C.of(mat_pot.astype(ctype)),
-                C.of(mat_decay.astype(ctype)),
-                np.asarray(lri_pot, dtype=FTYPE),
-                int(container["nubar"]),
-                jnp.asarray(container["true_energy"], dtype=FTYPE),
-                jnp.asarray(container["densities"], dtype=FTYPE),
-                jnp.asarray(container["distances"], dtype=FTYPE),
-                decay_flag=bool(self.neutrino_decay),
-                chain_map=chain_map,
-                chain_order=chain_order,
-                slot_index=slot_index,
-            )
+            if use_fwdgrad:
+                from pisa_tpu.ops.osc.pallas_chain import (
+                    osc_probs_layers_pallas_fwdgrad,
+                )
+
+                probs = osc_probs_layers_pallas_fwdgrad(
+                    theta_vec,
+                    int(container["nubar"]),
+                    jnp.asarray(container["true_energy"], dtype=FTYPE),
+                    jnp.asarray(container["densities"], dtype=FTYPE),
+                    jnp.asarray(container["distances"], dtype=FTYPE),
+                    reparam=self.reparam_mix_matrix,
+                    nlo_factor=1.020 if self.include_nlo else 1.0,
+                    interpret=(pallas_mode == "interpret"),
+                    order=chain_order,
+                )
+            else:
+                probs = osc_probs_layers(
+                    dm,
+                    mix,
+                    C.of(mat_pot.astype(ctype)),
+                    C.of(mat_decay.astype(ctype)),
+                    np.asarray(lri_pot, dtype=FTYPE),
+                    int(container["nubar"]),
+                    jnp.asarray(container["true_energy"], dtype=FTYPE),
+                    jnp.asarray(container["densities"], dtype=FTYPE),
+                    jnp.asarray(container["distances"], dtype=FTYPE),
+                    decay_flag=bool(self.neutrino_decay),
+                    chain_map=chain_map,
+                    chain_order=chain_order,
+                    slot_index=slot_index,
+                )
             container["probability"] = probs
             container.mark_changed("probability")
 
