@@ -761,19 +761,28 @@ def _osc_probs_xla(
 
     if slot_index is not None and chain_map is None:
         slot_index = jnp.asarray(slot_index, dtype=jnp.int32)
+        def take(x):
+            return jnp.take(
+                x, slot_index, axis=0, unique_indices=True,
+                indices_are_sorted=True,
+            )
+
         T_s = _layer_transition_stacked(
-            nubar, e_flat[slot_index], rho_flat[slot_index],
-            dist_flat[slot_index], U, mat_pot, H_vac, H_decay, lri_pot,
-            dm_vac, decay_flag,
+            nubar, take(e_flat), take(rho_flat), take(dist_flat), U,
+            mat_pot, H_vac, H_decay, lri_pot, dm_vac, decay_flag,
         )
         # scatter real-slot transitions into an identity-filled stack
-        # (padding slots act as identity in the chain product)
+        # (padding slots act as identity in the chain product); slot_index
+        # is sorted and unique by construction — the hints let XLA lower
+        # this as a simple masked store instead of a general scatter
         flat_n = n_layers * n_pts
         T = C(
             jnp.broadcast_to(eye[..., None], (3, 3, flat_n))
-            .at[:, :, slot_index].set(T_s.re),
+            .at[:, :, slot_index]
+            .set(T_s.re, indices_are_sorted=True, unique_indices=True),
             jnp.zeros((3, 3, flat_n), dtype=energy.dtype)
-            .at[:, :, slot_index].set(T_s.im),
+            .at[:, :, slot_index]
+            .set(T_s.im, indices_are_sorted=True, unique_indices=True),
         )
     else:
         T = _layer_transition_stacked(

@@ -438,9 +438,14 @@ class prob3(Stage):  # noqa: N801
                 if not self.layer_dedup and "layer_chain_order" in container
                 else None
             )
+            import os as _os
+
             slot_index = (
                 jnp.asarray(container["layer_slot_index"])
-                if not self.layer_dedup and "layer_slot_index" in container
+                if not self.layer_dedup
+                and "layer_slot_index" in container
+                and _os.environ.get("PISA_TPU_OSC_SLOT_COMPACT", "1")
+                not in ("0", "off")
                 else None
             )
             if use_fwdgrad:
