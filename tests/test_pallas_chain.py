@@ -272,20 +272,22 @@ def test_fwdgrad_values_and_gradients():
         jnp.sin(theta[0]), jnp.sin(theta[1]), jnp.sin(theta[2]), theta[3]
     )
     dm = dm_matrix(theta[4], theta[5])
-    for nubar in (1, -1):
+    # value parity: nu with sorted order, nubar without (each interpret
+    # launch is expensive; the order/no-order symmetry is covered by
+    # test_sorted_order_parity for the shared primal kernel)
+    for nubar, use_order in ((1, order), (-1, None)):
         ref = np.asarray(
             osc_probs_layers(
                 dm, mix, mat_pot, mat_decay, lri, nubar, e, dens, dist
             )
         )
-        for use_order in (None, order):
-            out = np.asarray(
-                osc_probs_layers_pallas_fwdgrad(
-                    theta, nubar, e, dens, dist, interpret=True,
-                    order=use_order,
-                )
+        out = np.asarray(
+            osc_probs_layers_pallas_fwdgrad(
+                theta, nubar, e, dens, dist, interpret=True,
+                order=use_order,
             )
-            np.testing.assert_allclose(out, ref, atol=1e-8)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-8)
 
     w = jnp.asarray(rng.uniform(-1, 1, (n, 3, 3)))
 
