@@ -18,6 +18,12 @@ def main(argv=None):
         "--eager", action="store_true",
         help="per-stage eager evaluation instead of the compiled template",
     )
+    parser.add_argument(
+        "--in-device", action="store_true",
+        help="evaluate all templates back-to-back inside ONE device"
+        " program (CompiledTemplate.scan_totals) — removes the per-call"
+        " host round-trip; reports the average over the whole scan",
+    )
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -38,6 +44,17 @@ def main(argv=None):
                 t0 = time.time()
                 pipeline.get_outputs()
                 times.append(time.time() - t0)
+        elif args.in_device:
+            ct = pipeline.compile()
+            n_free = len(ct.current_rescaled_values())
+            vecs = rng.uniform(
+                0.05, 0.95, size=(args.num_templates, n_free)
+            ).astype(np.float32)
+            np.asarray(ct.scan_totals(vecs))  # compile, excluded
+            t0 = time.time()
+            np.asarray(ct.scan_totals(vecs + np.float32(1e-6)))
+            per = (time.time() - t0) / args.num_templates
+            times = [per] * args.num_templates
         else:
             import jax
             import jax.numpy as jnp
