@@ -396,7 +396,7 @@ def _chain_block_math(p, nl, e, dens_get, dist_get):
 
 
 def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
-                  n_layers, nl_by_pid=True):
+                  n_layers):
     """Primal kernel: thin ref-plumbing wrapper over
     :func:`_chain_block_math`. ``nl_ref`` (SMEM) holds the per-block
     layer-loop bound: the longest chain among the block's points (most
@@ -404,7 +404,7 @@ def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
     the downgoing sky vs ~24 through the core — so a dynamic per-block
     bound skips most of the padding; cf. the reference's in-kernel layer
     cache, ``numba_osc_kernels.py:224-271``)."""
-    nl = nl_ref[pl.program_id(0), 0] if nl_by_pid else nl_ref[0, 0]
+    nl = nl_ref[pl.program_id(0), 0]
     vals = _chain_block_math(
         lambda k: pp_ref[0, k],
         nl,
@@ -425,8 +425,11 @@ def _chain_tangent_kernel(
     of the packed parameter vector, via an IN-BODY ``jax.jvp`` of the same
     block math the primal kernel runs (dual-number arithmetic compiles to
     ~2x the primal's VPU work; geometry inputs are closure-captured
-    constants with zero tangent)."""
-    nl = nl_ref[0, 0]
+    constants with zero tangent). The jvp is applied to the pure block
+    math, so program_id/ref plumbing stays outside the differentiated
+    function (jax's built-in pallas JVP rule, which cannot handle either,
+    is not involved)."""
+    nl = nl_ref[pl.program_id(0), 0]
     e = e_ref[:]
     dens = dens_ref[...]
     dist = dist_ref[...]
@@ -509,21 +512,16 @@ def _prep_blocks(energy, densities, distances):
 
 
 def chain_probs_pallas(
-    pvec, energy, densities, distances, *, interpret=False,
-    jvp_friendly=False, raw=False,
+    pvec, energy, densities, distances, *, interpret=False, raw=False,
 ):
     """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
-    (N, L). Returns probs (N, 3, 3).
+    (N, L). Returns probs (N, 3, 3) (or the raw (N, 2, 3) e/mu-state rows
+    with ``raw=True``; the tau row follows from double stochasticity).
 
     Each block's layer loop runs only to the longest chain in the block
     (trailing zero-length slots are skipped entirely); callers that sort
     points by chain length first (see ``osc_probs_layers_pallas(order=)``)
-    turn that into a ~mean-chain-length trip count.
-
-    ``jvp_friendly=True`` switches the per-block layer-bound plumbing from
-    program_id indexing to a (1, 1)-blocked ref so that jax's built-in
-    pallas JVP rule can re-trace the kernel — the forward-mode gradient
-    path (:func:`osc_probs_layers_pallas_fwdgrad`) requires it."""
+    turn that into a ~mean-chain-length trip count."""
     dtype = energy.dtype
     n = energy.shape[0]
     n_layers = densities.shape[1]
@@ -532,23 +530,15 @@ def chain_probs_pallas(
     )
 
     out = pl.pallas_call(
-        partial(
-            _chain_kernel, n_layers=n_layers, nl_by_pid=not jvp_friendly
-        ),
+        partial(_chain_kernel, n_layers=n_layers),
         out_shape=jax.ShapeDtypeStruct((2, 3, rows, LANES), dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
             # whole bounds vector in SMEM (Mosaic requires SMEM blocks to
-            # cover full array dims); the kernel indexes by program_id —
-            # except on the JVP path, where a (1, 1) block replaces the
-            # program_id call the JVP re-trace cannot handle
+            # cover full array dims); the kernel indexes by program_id
             pl.BlockSpec(
                 (grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-            )
-            if not jvp_friendly
-            else pl.BlockSpec(
-                (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (BLOCK_ROWS, LANES), lambda i: (i, 0),
@@ -606,7 +596,9 @@ def chain_tangent_pallas(
         in_specs=[
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (BLOCK_ROWS, LANES), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
