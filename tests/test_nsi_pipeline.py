@@ -1,0 +1,66 @@
+"""
+Non-standard-interaction pipelines end to end: eager evaluation with NSI
+parameters, and template compilation with the (host-side) NSI parameters
+fixed (cf. reference ``pisa/stages/osc/prob3.py`` NSI options and
+``pisa/stages/osc/nsi_params.py``).
+"""
+
+import numpy as np
+import pytest
+
+from pisa_tpu import ureg
+from pisa_tpu.config.parser import parse_pipeline_config
+from pisa_tpu.core.param import Param, ParamSet
+from pisa_tpu.core.pipeline import Pipeline
+
+EPS_NAMES = (
+    "eps_ee",
+    "eps_emu_magn",
+    "eps_emu_phase",
+    "eps_etau_magn",
+    "eps_etau_phase",
+    "eps_mumu",
+    "eps_mutau_magn",
+    "eps_mutau_phase",
+    "eps_tautau",
+)
+
+
+def _nsi_config(eps_mutau=0.0):
+    cfg = parse_pipeline_config("settings/pipeline/osc_example_coarse.cfg")
+    sec = cfg[("osc", "prob3")]
+    sec["nsi_type"] = "standard"
+    extra = []
+    for name in EPS_NAMES:
+        val = eps_mutau if name == "eps_mutau_magn" else 0.0
+        unit = ureg.rad if name.endswith("phase") else ureg.dimensionless
+        extra.append(Param(name=name, value=val * unit, is_fixed=True))
+    sec["params"].update(ParamSet(extra))
+    return cfg
+
+
+def test_nsi_pipeline_eager_and_compiled():
+    p_std = Pipeline(_nsi_config(eps_mutau=0.0))
+    p_nsi = Pipeline(_nsi_config(eps_mutau=0.2))
+
+    out_std = p_std.get_outputs()
+    out_nsi = p_nsi.get_outputs()
+    h_std = np.asarray(out_std["numu_cc"].hist)
+    h_nsi = np.asarray(out_nsi["numu_cc"].hist)
+    # a large eps_mutau visibly changes numu survival
+    assert not np.allclose(h_std, h_nsi, rtol=1e-3)
+
+    # template compiles with the NSI params fixed and matches eager
+    ct = p_nsi.compile()
+    r = ct(ct.current_rescaled_values())
+    tot_c = float(np.asarray(r["hist"]["numu_cc"]).sum())
+    tot_e = float(h_nsi.sum())
+    assert np.isclose(tot_c, tot_e, rtol=1e-6)
+
+
+def test_free_nsi_param_raises_clear_error():
+    cfg = _nsi_config(eps_mutau=0.1)
+    pipeline = Pipeline(cfg)
+    pipeline.params.unfix("eps_mutau_magn")
+    with pytest.raises(ValueError, match="host-side precomputation"):
+        pipeline.compile()
