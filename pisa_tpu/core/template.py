@@ -51,29 +51,10 @@ HOST_PARAM_NAMES = {
     "n_events",
     "seed",
     "random",
-    # prob3 non-standard-physics construction (ops/osc/nonstandard.py) is
-    # host-side numpy-complex: these are fixed at compile; eager pipelines
-    # support varying them
-    "eps_ee",
-    "eps_emu_magn",
-    "eps_emu_phase",
-    "eps_etau_magn",
-    "eps_etau_phase",
-    "eps_mumu",
-    "eps_mutau_magn",
-    "eps_mutau_phase",
-    "eps_tautau",
-    "eps_scale",
-    "eps_prime",
-    "phi12",
-    "phi13",
-    "phi23",
-    "alpha1",
-    "alpha2",
-    "deltansi",
-    "decay_alpha3",
-    "v_lri",
 }
+# NSI/decay/LRI couplings are NOT host params: prob3 builds their matrices
+# with the trace-safe split-complex builders (ops/osc/nonstandard.py), so
+# compiled templates take analytic gradients w.r.t. them.
 
 
 class CompiledTemplate:

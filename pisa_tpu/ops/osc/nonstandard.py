@@ -4,19 +4,31 @@ NSI couplings, neutrino decay, long-range interactions, and Earth-tomography
 density scalings.
 
 Rebuild of reference ``pisa/stages/osc/{nsi_params,decay_params,lri_params,
-scaling_params}.py`` with the same math and conventions, host-side numpy
-(these produce small constant matrices consumed by the jitted propagation).
+scaling_params}.py`` with the same math and conventions. The numpy parameter
+classes mirror the reference's API; the ``*_C``/``lri_potential`` builder
+functions construct the same matrices from plain scalars with jnp
+split-complex arithmetic, so the scalars may be JAX tracers — compiled
+templates can take analytic gradients w.r.t. NSI/decay/LRI couplings (the
+reference fits these with finite differences only).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax.numpy as jnp
+
+from pisa_tpu.ops.cplx import C
+
 __all__ = [
     "StdNSIParams",
     "VacuumLikeNSIParams",
     "DecayParams",
     "LRIParams",
+    "std_nsi_eps_C",
+    "vacuum_nsi_eps_C",
+    "decay_matrix_C",
+    "lri_potential",
     "Mass_scaling",
     "Core_scaling_w_constrain",
     "Core_scaling_wo_constrain",
@@ -24,6 +36,138 @@ __all__ = [
     "FIVE_LAYER_RHOS",
     "TOMOGRAPHY_ERROR_MSG",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Trace-safe (differentiable) builders
+# ---------------------------------------------------------------------------
+def std_nsi_eps_C(
+    eps_ee, eps_emu_magn, eps_emu_phase, eps_etau_magn, eps_etau_phase,
+    eps_mumu, eps_mutau_magn, eps_mutau_phase, eps_tautau,
+):
+    """Hermitian standard-parameterization eps matrix as split-complex
+    ``C(3, 3)``; diagonal shifted by -eps_mumu (trace is irrelevant) —
+    identical to ``StdNSIParams.eps_matrix``."""
+    z = jnp.zeros(())
+    emu_re = eps_emu_magn * jnp.cos(eps_emu_phase)
+    emu_im = eps_emu_magn * jnp.sin(eps_emu_phase)
+    etau_re = eps_etau_magn * jnp.cos(eps_etau_phase)
+    etau_im = eps_etau_magn * jnp.sin(eps_etau_phase)
+    mutau_re = eps_mutau_magn * jnp.cos(eps_mutau_phase)
+    mutau_im = eps_mutau_magn * jnp.sin(eps_mutau_phase)
+    re = jnp.stack(
+        [
+            jnp.stack([eps_ee - eps_mumu, emu_re, etau_re]),
+            jnp.stack([emu_re, z, mutau_re]),
+            jnp.stack([etau_re, mutau_re, eps_tautau - eps_mumu]),
+        ]
+    )
+    im = jnp.stack(
+        [
+            jnp.stack([z, emu_im, etau_im]),
+            jnp.stack([-emu_im, z, mutau_im]),
+            jnp.stack([-etau_im, -mutau_im, z]),
+        ]
+    )
+    return C(re, im)
+
+
+def vacuum_nsi_eps_C(
+    eps_scale, eps_prime, phi12, phi13, phi23, alpha1, alpha2, deltansi
+):
+    """Vacuum-like NSI eps matrix (JHEP08(2018)180) as split-complex
+    ``C(3, 3)`` — identical to ``VacuumLikeNSIParams.eps_matrix``
+    (diagonal shifted by the mumu entry and the standard CC term)."""
+    from pisa_tpu.ops.osc.kernels import mat_conj_T, mat_mul, mat_to_C
+
+    def cnum(re, im=None):
+        re = jnp.asarray(re, jnp.result_type(float))
+        im = (
+            jnp.zeros_like(re)
+            if im is None
+            else jnp.asarray(im, jnp.result_type(float))
+        )
+        return C(re, im)
+
+    zero = cnum(0.0)
+    one = cnum(1.0)
+    qdiag = [
+        cnum(jnp.cos(alpha1), jnp.sin(alpha1)),
+        cnum(jnp.cos(alpha2), jnp.sin(alpha2)),
+        cnum(jnp.cos(alpha1 + alpha2), -jnp.sin(alpha1 + alpha2)),
+    ]
+    Qrel = [
+        [qdiag[0], zero, zero],
+        [zero, qdiag[1], zero],
+        [zero, zero, qdiag[2]],
+    ]
+    c12, s12 = jnp.cos(phi12), jnp.sin(phi12)
+    c13, s13 = jnp.cos(phi13), jnp.sin(phi13)
+    c23, s23 = jnp.cos(phi23), jnp.sin(phi23)
+    R12 = [
+        [cnum(c12), cnum(s12), zero],
+        [cnum(-s12), cnum(c12), zero],
+        [zero, zero, one],
+    ]
+    R13 = [
+        [cnum(c13), zero, cnum(s13)],
+        [zero, one, zero],
+        [cnum(-s13), zero, cnum(c13)],
+    ]
+    R23 = [
+        [one, zero, zero],
+        [
+            zero,
+            cnum(c23),
+            cnum(s23 * jnp.cos(deltansi), -s23 * jnp.sin(deltansi)),
+        ],
+        [
+            zero,
+            cnum(-s23 * jnp.cos(deltansi), -s23 * jnp.sin(deltansi)),
+            cnum(c23),
+        ],
+    ]
+    D = [
+        [cnum(eps_scale), zero, zero],
+        [zero, cnum(eps_prime), zero],
+        [zero, zero, zero],
+    ]
+    U = mat_mul(mat_mul(R12, R13), R23)
+    m = mat_mul(
+        mat_mul(mat_mul(mat_mul(Qrel, U), D), mat_conj_T(U)),
+        mat_conj_T(Qrel),
+    )
+    full = mat_to_C(m)
+    # subtract the mumu entry from the diagonal, the CC term from ee, and
+    # force real diagonals (Hermitian by construction up to roundoff)
+    shift = full.re[1, 1]
+    eye = jnp.eye(3)
+    re = full.re - shift * eye - jnp.zeros((3, 3)).at[0, 0].set(1.0)
+    im = full.im * (1.0 - eye)
+    return C(re, im)
+
+
+def decay_matrix_C(decay_alpha3):
+    """Invisible-nu3-decay matrix: -i*alpha3 at [2, 2], as ``C(3, 3)``."""
+    re = jnp.zeros((3, 3))
+    im = jnp.zeros((3, 3)).at[2, 2].set(-jnp.asarray(decay_alpha3))
+    return C(re, im)
+
+
+def lri_potential(v_lri, lri_type):
+    """Long-range-interaction flavor potential (real diagonal (3, 3)) for
+    the given symmetry; differentiable in ``v_lri``."""
+    v = jnp.asarray(v_lri)
+    z = jnp.zeros(())
+    if lri_type == "emu-symmetry":
+        d = jnp.stack([v, -v, z])
+    elif lri_type == "etau-symmetry":
+        d = jnp.stack([v, z, -v])
+    elif lri_type == "mutau-symmetry":
+        d = jnp.stack([z, v, -v])
+    else:
+        raise ValueError(f"unknown lri_type {lri_type!r}")
+    return jnp.diag(d)
 
 
 class StdNSIParams:

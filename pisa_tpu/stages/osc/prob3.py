@@ -35,6 +35,10 @@ from pisa_tpu.ops.osc.nonstandard import (
     StdNSIParams,
     TOMOGRAPHY_ERROR_MSG,
     VacuumLikeNSIParams,
+    decay_matrix_C,
+    lri_potential,
+    std_nsi_eps_C,
+    vacuum_nsi_eps_C,
 )
 from pisa_tpu.ops.osc.pmns import OscParams, dm_matrix, pmns_matrix, pmns_matrix_reparam
 from pisa_tpu.utils.log import logging
@@ -301,40 +305,34 @@ class prob3(Stage):  # noqa: N801
         dm31 = self.params.deltam31.m_as("eV**2")
         deltacp = self.params.deltacp.m_as("rad")
 
+        # NSI / decay / LRI matrices via the trace-safe split-complex
+        # builders (ops/osc/nonstandard.py): the coupling parameters may be
+        # JAX tracers, so compiled templates take analytic gradients w.r.t.
+        # them (the reference fits these by finite differences only)
+        eps_C = None
         if self.nsi_type == "vacuum-like":
-            n = self.nsi_params
-            n.eps_scale = self.params.eps_scale.m_as("dimensionless")
-            n.eps_prime = self.params.eps_prime.m_as("dimensionless")
-            n.phi12 = self.params.phi12.m_as("rad")
-            n.phi13 = self.params.phi13.m_as("rad")
-            n.phi23 = self.params.phi23.m_as("rad")
-            n.alpha1 = self.params.alpha1.m_as("rad")
-            n.alpha2 = self.params.alpha2.m_as("rad")
-            n.deltansi = self.params.deltansi.m_as("rad")
+            eps_C = vacuum_nsi_eps_C(
+                self.params.eps_scale.m_as("dimensionless"),
+                self.params.eps_prime.m_as("dimensionless"),
+                self.params.phi12.m_as("rad"),
+                self.params.phi13.m_as("rad"),
+                self.params.phi23.m_as("rad"),
+                self.params.alpha1.m_as("rad"),
+                self.params.alpha2.m_as("rad"),
+                self.params.deltansi.m_as("rad"),
+            )
         elif self.nsi_type == "standard":
-            n = self.nsi_params
-            n.eps_ee = self.params.eps_ee.m_as("dimensionless")
-            n.eps_emu = (
+            eps_C = std_nsi_eps_C(
+                self.params.eps_ee.m_as("dimensionless"),
                 self.params.eps_emu_magn.m_as("dimensionless"),
                 self.params.eps_emu_phase.m_as("rad"),
-            )
-            n.eps_etau = (
                 self.params.eps_etau_magn.m_as("dimensionless"),
                 self.params.eps_etau_phase.m_as("rad"),
-            )
-            n.eps_mumu = self.params.eps_mumu.m_as("dimensionless")
-            n.eps_mutau = (
+                self.params.eps_mumu.m_as("dimensionless"),
                 self.params.eps_mutau_magn.m_as("dimensionless"),
                 self.params.eps_mutau_phase.m_as("rad"),
+                self.params.eps_tautau.m_as("dimensionless"),
             )
-            n.eps_tautau = self.params.eps_tautau.m_as("dimensionless")
-
-        if self.neutrino_decay:
-            self.decay_params.decay_alpha3 = self.params.decay_alpha3.m_as(
-                "eV**2"
-            )
-        if self.lri_type is not None:
-            self.lri_params.v_lri = self.params.v_lri.m_as("eV")
 
         if self.tomography_type is not None:
             if self.tomography_type == "mass_of_earth":
@@ -366,26 +364,38 @@ class prob3(Stage):  # noqa: N801
                 self.data.link_containers("nu", _NU_FLAVS)
                 self.data.link_containers("nubar", _NUBAR_FLAVS)
 
-        # generalized matter potential
-        std_mat_pot = np.zeros((3, 3), dtype=np.complex128)
-        std_mat_pot[0, 0] = 1.020 if self.include_nlo else 1.0
-        if self.nsi_type is not None:
-            mat_pot = std_mat_pot + self.nsi_params.eps_matrix
+        # generalized matter potential (split-complex; trace-safe)
+        std_re = np.zeros((3, 3), dtype=np.float64)
+        std_re[0, 0] = 1.020 if self.include_nlo else 1.0
+        if eps_C is not None:
+            mat_pot = C(
+                jnp.asarray(std_re, dtype=FTYPE) + eps_C.re.astype(FTYPE),
+                eps_C.im.astype(FTYPE),
+            )
         else:
-            mat_pot = std_mat_pot
+            mat_pot = C(
+                jnp.asarray(std_re, dtype=FTYPE),
+                jnp.zeros((3, 3), dtype=FTYPE),
+            )
 
-        mat_decay = (
-            self.decay_params.decay_matrix
-            if self.neutrino_decay
-            else np.zeros((3, 3), dtype=np.complex128)
-        )
-        lri_pot = np.zeros((3, 3))
-        if self.lri_type == "emu-symmetry":
-            lri_pot = self.lri_params.potential_matrix_emu
-        elif self.lri_type == "etau-symmetry":
-            lri_pot = self.lri_params.potential_matrix_etau
-        elif self.lri_type == "mutau-symmetry":
-            lri_pot = self.lri_params.potential_matrix_mutau
+        if self.neutrino_decay:
+            mat_decay = decay_matrix_C(
+                self.params.decay_alpha3.m_as("eV**2")
+            )
+            mat_decay = C(
+                mat_decay.re.astype(FTYPE), mat_decay.im.astype(FTYPE)
+            )
+        else:
+            mat_decay = C(
+                jnp.zeros((3, 3), dtype=FTYPE),
+                jnp.zeros((3, 3), dtype=FTYPE),
+            )
+        if self.lri_type is not None:
+            lri_pot = lri_potential(
+                self.params.v_lri.m_as("eV"), self.lri_type
+            ).astype(FTYPE)
+        else:
+            lri_pot = np.zeros((3, 3))
 
         pmns_fn = (
             pmns_matrix_reparam if self.reparam_mix_matrix else pmns_matrix
@@ -426,7 +436,6 @@ class prob3(Stage):  # noqa: N801
             else None
         )
 
-        ctype = np.complex128 if FTYPE == np.float64 else np.complex64
         for container in self.data:
             chain_map = (
                 jnp.asarray(container["layer_chain_map"])
@@ -468,9 +477,9 @@ class prob3(Stage):  # noqa: N801
                 probs = osc_probs_layers(
                     dm,
                     mix,
-                    C.of(mat_pot.astype(ctype)),
-                    C.of(mat_decay.astype(ctype)),
-                    np.asarray(lri_pot, dtype=FTYPE),
+                    mat_pot,
+                    mat_decay,
+                    jnp.asarray(lri_pot, dtype=FTYPE),
                     int(container["nubar"]),
                     jnp.asarray(container["true_energy"], dtype=FTYPE),
                     jnp.asarray(container["densities"], dtype=FTYPE),

@@ -1,12 +1,13 @@
 """
 Non-standard-interaction pipelines end to end: eager evaluation with NSI
-parameters, and template compilation with the (host-side) NSI parameters
-fixed (cf. reference ``pisa/stages/osc/prob3.py`` NSI options and
-``pisa/stages/osc/nsi_params.py``).
+parameters, template compilation, and analytic gradients w.r.t. free NSI
+couplings via the trace-safe split-complex builders (cf. reference
+``pisa/stages/osc/prob3.py`` NSI options and
+``pisa/stages/osc/nsi_params.py``, which are fit by finite differences
+upstream).
 """
 
 import numpy as np
-import pytest
 
 from pisa_tpu import ureg
 from pisa_tpu.config.parser import parse_pipeline_config
@@ -58,9 +59,23 @@ def test_nsi_pipeline_eager_and_compiled():
     assert np.isclose(tot_c, tot_e, rtol=1e-6)
 
 
-def test_free_nsi_param_raises_clear_error():
+def test_free_nsi_param_gradient_flows():
+    """NSI couplings are trace-safe: a compiled template with a free
+    eps_mutau magnitude yields a nonzero analytic gradient (beyond the
+    reference, which fits NSI with finite differences)."""
     cfg = _nsi_config(eps_mutau=0.1)
     pipeline = Pipeline(cfg)
-    pipeline.params.unfix("eps_mutau_magn")
-    with pytest.raises(ValueError, match="host-side precomputation"):
-        pipeline.compile()
+    prm = pipeline.params["eps_mutau_magn"]
+    prm.range = (0.0, 0.5) * ureg.dimensionless
+    prm.is_fixed = False
+    ct = pipeline.compile()
+    assert "eps_mutau_magn" in ct.free_names
+
+    data = ct.get_outputs()
+    _, vag = ct.build_objective(data, "mod_chi2")
+    v0 = np.clip(ct.current_rescaled_values() + 0.07, 0.05, 0.95)
+    loss, grad = vag(v0)
+    grad = np.asarray(grad)
+    assert np.isfinite(float(loss)) and np.all(np.isfinite(grad))
+    k = ct.free_names.index("eps_mutau_magn")
+    assert grad[k] != 0.0
