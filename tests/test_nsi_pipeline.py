@@ -59,6 +59,72 @@ def test_nsi_pipeline_eager_and_compiled():
     assert np.isclose(tot_c, tot_e, rtol=1e-6)
 
 
+def test_decay_pipeline_compiles_with_free_alpha3():
+    """Neutrino-decay pipelines: alpha3 visibly damps the template, and a
+    compiled template yields a nonzero analytic gradient w.r.t. it."""
+    cfg = parse_pipeline_config("settings/pipeline/osc_example_coarse.cfg")
+    sec = cfg[("osc", "prob3")]
+    sec["neutrino_decay"] = True
+    sec["params"].update(
+        ParamSet(
+            [
+                Param(
+                    name="decay_alpha3",
+                    value=0.0 * ureg.eV**2,
+                    range=(0.0, 1e-3) * ureg.eV**2,
+                    is_fixed=False,
+                )
+            ]
+        )
+    )
+    p = Pipeline(cfg)
+    base = np.asarray(p.get_outputs()["numu_cc"].hist).copy()
+    p.params["decay_alpha3"].value = 2e-4 * ureg.eV**2
+    decayed = np.asarray(p.get_outputs()["numu_cc"].hist)
+    assert decayed.sum() < base.sum()  # nu3 decay removes flux
+
+    ct = p.compile()
+    data = ct.get_outputs()
+    _, vag = ct.build_objective(data, "mod_chi2")
+    v0 = np.clip(ct.current_rescaled_values() + 0.05, 0.05, 0.95)
+    _, grad = vag(v0)
+    k = ct.free_names.index("decay_alpha3")
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.asarray(grad)[k] != 0.0
+
+
+def test_lri_pipeline_compiles_with_free_v_lri():
+    cfg = parse_pipeline_config("settings/pipeline/osc_example_coarse.cfg")
+    sec = cfg[("osc", "prob3")]
+    sec["lri_type"] = "mutau-symmetry"
+    sec["params"].update(
+        ParamSet(
+            [
+                Param(
+                    name="v_lri",
+                    value=0.0 * ureg.eV,
+                    range=(0.0, 1e-13) * ureg.eV,
+                    is_fixed=False,
+                )
+            ]
+        )
+    )
+    p = Pipeline(cfg)
+    base = np.asarray(p.get_outputs()["numu_cc"].hist).copy()
+    p.params["v_lri"].value = 5e-14 * ureg.eV
+    shifted = np.asarray(p.get_outputs()["numu_cc"].hist)
+    assert not np.allclose(base, shifted, rtol=1e-4)
+
+    ct = p.compile()
+    data = ct.get_outputs()
+    _, vag = ct.build_objective(data, "mod_chi2")
+    v0 = np.clip(ct.current_rescaled_values() + 0.05, 0.05, 0.95)
+    _, grad = vag(v0)
+    k = ct.free_names.index("v_lri")
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.asarray(grad)[k] != 0.0
+
+
 def test_free_nsi_param_gradient_flows():
     """NSI couplings are trace-safe: a compiled template with a free
     eps_mutau magnitude yields a nonzero analytic gradient (beyond the
