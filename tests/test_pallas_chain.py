@@ -15,6 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from pisa_tpu import FTYPE
 from pisa_tpu.ops.cplx import C
 from pisa_tpu.ops.osc.kernels import osc_probs_layers
 from pisa_tpu.ops.osc.pallas_chain import (
@@ -22,6 +23,8 @@ from pisa_tpu.ops.osc.pallas_chain import (
     osc_probs_layers_pallas,
 )
 from pisa_tpu.ops.osc.pmns import dm_matrix, pmns_matrix
+
+_F64 = FTYPE == np.float64
 
 
 def _setup(n=96, n_layers=5, seed=7):
@@ -198,7 +201,7 @@ def test_slot_index_compaction_parity():
                 slot_index=jnp.asarray(slot),
             )
         )
-        np.testing.assert_allclose(p1, p0, atol=1e-13)
+        np.testing.assert_allclose(p1, p0, atol=1e-13 if _F64 else 2e-6)
 
     def loss(dm31, slot_index):
         dmv = dm_matrix(7.4e-5, dm31)
@@ -212,7 +215,7 @@ def test_slot_index_compaction_parity():
     g1 = float(
         jax.grad(lambda d: loss(d, jnp.asarray(slot)))(2.5e-3)
     )
-    assert abs(g1 - g0) <= 1e-10 * abs(g0)
+    assert abs(g1 - g0) <= (1e-10 if _F64 else 2e-5) * abs(g0)
 
 
 def test_slot_index_through_pallas_vjp():
@@ -237,7 +240,7 @@ def test_slot_index_through_pallas_vjp():
     g1 = float(
         jax.grad(lambda d: loss(d, slot_index=jnp.asarray(slot)))(2.5e-3)
     )
-    assert abs(g1 - g0) <= 1e-10 * abs(g0)
+    assert abs(g1 - g0) <= (1e-10 if _F64 else 2e-5) * abs(g0)
 
 
 def test_fwdgrad_values_and_gradients():
@@ -287,7 +290,7 @@ def test_fwdgrad_values_and_gradients():
                 order=use_order,
             )
         )
-        np.testing.assert_allclose(out, ref, atol=1e-8)
+        np.testing.assert_allclose(out, ref, atol=1e-8 if _F64 else 5e-5)
 
     w = jnp.asarray(rng.uniform(-1, 1, (n, 3, 3)))
 
@@ -312,7 +315,9 @@ def test_fwdgrad_values_and_gradients():
 
     g1 = np.asarray(jax.grad(loss_fwd)(theta))
     g2 = np.asarray(jax.grad(loss_xla)(theta))
-    assert np.abs(g1 - g2).max() / np.abs(g2).max() < 1e-6
+    assert np.abs(g1 - g2).max() / np.abs(g2).max() < (
+        1e-6 if _F64 else 5e-5
+    )
 
 
 def test_odd_sizes_padding():
