@@ -67,7 +67,11 @@ def test_fit_batch_per_lane_data():
     xb, fb, _ = device_fit.fit_batch_on_device(
         _quad_raw_with_data, x0s, np.zeros(2), np.ones(2), None, targets
     )
-    assert np.allclose(np.asarray(xb), targets, atol=1e-4)
+    # x-accuracy is bounded by the precision-dependent gradient tolerance:
+    # for this quadratic |x - t| <= gtol / 2 at convergence
+    assert np.allclose(
+        np.asarray(xb), targets, atol=device_fit.DEFAULT_GTOL
+    )
 
 
 def test_bounds_respected():
