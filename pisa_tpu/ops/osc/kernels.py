@@ -623,6 +623,11 @@ def _osc_probs_layers_jit(
     )
 
 
+# memoized (distances, slot_index) pairs that already passed the eager
+# consistency check; strong refs keep the ids stable while cached
+_SLOT_VALIDATED = {}
+
+
 def osc_probs_layers(
     dm_vac,
     mix,
@@ -638,34 +643,62 @@ def osc_probs_layers(
     chain_order=None,
     slot_index=None,
 ):
-    """Public entry: see :func:`_osc_probs_layers_jit` for semantics.
+    """Public entry: see :func:`_osc_probs_layers_jit` for semantics (the
+    jitted callable is available as ``_osc_probs_layers_jit`` for
+    ``.lower()``/AOT use).
 
     Eager calls (concrete arrays) additionally validate `slot_index`
     against `distances` before entering the jitted program: an index set
     that omits a real (distance > 0) layer slot would otherwise silently
-    turn that layer into an identity transition. Inside an outer trace
-    (the compiled-template path) the caller — ``stages/osc/prob3.py`` —
-    recomputes the indices together with the chains, so they are
-    consistent by construction."""
+    turn that layer into an identity transition. The validated pair is
+    memoized, so repeated eager evaluations over the same (static)
+    geometry pay the check once. Inside an outer trace both are tracers
+    and the check cannot run — the in-repo caller
+    (``stages/osc/prob3.py``) recomputes the indices together with the
+    chains so they are consistent by construction, but EXTERNAL jitted
+    callers closing over a stale slot_index get no protection: derive
+    indices with :func:`pisa_tpu.ops.osc.layers.layer_slot_index` from
+    the same distances you pass here."""
     if (
         slot_index is not None
         and chain_map is None
         and not isinstance(distances, jax.core.Tracer)
         and not isinstance(slot_index, jax.core.Tracer)
     ):
-        expected = np.flatnonzero(
-            np.swapaxes(np.asarray(distances), 0, 1).ravel() > 0.0
-        )
-        given = np.sort(np.asarray(slot_index).ravel())
-        if given.size != expected.size or not np.array_equal(
-            given, expected
-        ):
-            raise ValueError(
-                "slot_index inconsistent with distances: expected the flat"
-                f" layer-major indices of the {expected.size} distance>0"
-                f" slots, got {given.size} indices. Recompute slot_index"
-                " whenever the layer chains change."
-            )
+        pair = (id(distances), id(slot_index))
+        if pair not in _SLOT_VALIDATED:
+            from pisa_tpu.ops.osc.layers import layer_slot_index
+
+            expected = layer_slot_index(distances)
+            given = np.sort(np.asarray(slot_index).ravel())
+            if given.size != expected.size or not np.array_equal(
+                given, expected
+            ):
+                if given.size == expected.size:
+                    first = int(
+                        np.flatnonzero(given != expected)[0]
+                    )
+                    detail = (
+                        f" sizes match ({given.size}) but contents differ,"
+                        f" first at position {first}:"
+                        f" got {given[first]}, expected {expected[first]}."
+                    )
+                else:
+                    detail = (
+                        f" expected {expected.size} indices,"
+                        f" got {given.size}."
+                    )
+                raise ValueError(
+                    "slot_index inconsistent with distances (flat"
+                    " layer-major indices of the distance>0 slots):"
+                    + detail
+                    + " Recompute slot_index (layers.layer_slot_index)"
+                    " whenever the layer chains change."
+                )
+            # strong refs keep ids stable while memoized
+            _SLOT_VALIDATED[pair] = (distances, slot_index)
+            while len(_SLOT_VALIDATED) > 16:
+                _SLOT_VALIDATED.pop(next(iter(_SLOT_VALIDATED)))
     return _osc_probs_layers_jit(
         dm_vac, mix, mat_pot, mat_decay, lri_pot, nubar, energy, densities,
         distances, decay_flag=decay_flag, chain_map=chain_map,

@@ -26,7 +26,7 @@ import numpy as np
 
 from pisa_tpu.utils.resources import find_resource
 
-__all__ = ["Layers", "calc_path_layers"]
+__all__ = ["Layers", "calc_path_layers", "dedup_layers", "layer_slot_index"]
 
 # Electron-fraction region boundaries (PREM, km); cf. reference
 # ``layers.py:419-421``; the crust shares the mantle's electron fraction.
@@ -346,3 +346,16 @@ def dedup_layers(densities, distances):
         distances, order, axis=1
     )[is_new]
     return unique_densities, unique_distances, chain_map
+
+
+def layer_slot_index(distances):
+    """Flat layer-major indices (layer * n_points + point) of the real
+    (distance > 0) layer slots of an (N, L) chain array — the single
+    source of truth for the slot-compaction convention consumed by
+    :func:`pisa_tpu.ops.osc.kernels.osc_probs_layers` (``slot_index=``)
+    and produced at setup by ``stages/osc/prob3.py``."""
+    import numpy as np
+
+    return np.flatnonzero(
+        np.swapaxes(np.asarray(distances), 0, 1).ravel() > 0.0
+    ).astype(np.int32)

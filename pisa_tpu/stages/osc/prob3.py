@@ -260,9 +260,9 @@ class prob3(Stage):  # noqa: N801
                 # flat layer-major indices of the real (distance > 0) layer
                 # slots: the XLA/backward path then runs the transition
                 # algebra only over these instead of the padded rectangle
-                container["layer_slot_index"] = np.flatnonzero(
-                    np.swapaxes(np.asarray(distances), 0, 1).ravel() > 0.0
-                ).astype(np.int32)
+                from pisa_tpu.ops.osc.layers import layer_slot_index
+
+                container["layer_slot_index"] = layer_slot_index(distances)
         self.data.unlink_containers()
 
     # -- compute --------------------------------------------------------------
