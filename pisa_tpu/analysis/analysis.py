@@ -651,11 +651,15 @@ class BasicAnalysis:
             # value makes cubic interpolation pick alpha ~ f0/f1 ~ 1e-16 —
             # a zero step (cf. reference analysis.py:1917-1939, which also
             # tolerates failed evaluations rather than aborting). Fix:
-            # sanitize non-finite values/gradients, and CAP blowup values at
-            # a generous multiple of the starting objective so backtracking
-            # interpolation picks a workable step. The objective scale seen
-            # by the optimizer is otherwise untouched, so user-supplied
-            # ftol/gtol keep their documented meaning.
+            # sanitize non-finite values/gradients, and SQUASH blowup values
+            # above a generous multiple of the starting objective through a
+            # smooth monotone log so backtracking interpolation picks a
+            # workable step. The squash is differentiable, so the returned
+            # gradient is rescaled by its derivative and the (f, g) pair
+            # stays consistent in the squashed region (an inconsistent pair
+            # would misdirect L-BFGS-B/SLSQP line-search interpolation).
+            # Below the cap the objective is untouched, so user-supplied
+            # ftol/gtol keep their documented meaning near the solution.
             cap = [None]  # set from the first (x0) evaluation
 
             def fun(x):
@@ -671,7 +675,17 @@ class BasicAnalysis:
                 if cap[0] is None and np.isfinite(val):
                     cap[0] = 1e4 * (abs(val) + 1.0)
                 if cap[0] is not None and val > cap[0]:
-                    val = cap[0]
+                    # smooth squash: f -> cap + cap*log1p((f-cap)/cap),
+                    # with matching chain-rule gradient scale so the
+                    # optimizer sees a consistent (f, g) pair
+                    excess = val - cap[0]
+                    dsquash = 1.0 / (1.0 + excess / cap[0])
+                    val = cap[0] + cap[0] * np.log1p(excess / cap[0])
+                    if np.isfinite(val):
+                        grad = grad * dsquash
+                    else:  # val was +inf
+                        val = np.finfo(np.float64).max / 1e10
+                        grad = np.zeros_like(grad)
                 fit_history.append([val] + list(np.asarray(x, dtype=float)))
                 return val, grad
 
@@ -1098,10 +1112,17 @@ class BasicAnalysis:
         except ImportError:
             have_nlopt = False
 
-        if have_nlopt:
-            raise NotImplementedError(
-                "native nlopt bindings path not wired; translate via the"
-                " scipy-equivalent fallback (uninstall nlopt)"
+        # gradient-based NLopt names (LD_/GD_) always use the native
+        # translation: the reference outright rejects them
+        # (``analysis.py:2407-2409``), while the native scipy path runs
+        # them with analytic (autodiff) gradients — strictly better
+        gradient_algo = len(algo) > 1 and algo.split("_")[0].endswith("D")
+        if have_nlopt and not gradient_algo:
+            real_kwargs = dict(method_kwargs or {})
+            real_kwargs["algorithm"] = algo
+            return self._fit_nlopt_real(
+                data_dist, hypo_maker, metric, external_priors_penalty,
+                real_kwargs, local_fit_kwargs,
             )
 
         if algo not in self._NLOPT_EQUIV:
@@ -1204,6 +1225,216 @@ class BasicAnalysis:
         result.minimizer_metadata["method"] = (
             f"nlopt-equivalent (native, {algo} -> {scipy_method})"
         )
+        return result
+
+    #: nlopt result code -> message (cf. reference ``analysis.py:2354``)
+    _NLOPT_MESSAGES = {
+        1: "NLOPT_SUCCESS",
+        2: "NLOPT_STOPVAL_REACHED",
+        3: "NLOPT_FTOL_REACHED",
+        4: "NLOPT_XTOL_REACHED",
+        5: "NLOPT_MAXEVAL_REACHED",
+        6: "NLOPT_MAXTIME_REACHED",
+        -1: "NLOPT_FAILURE",
+        -2: "NLOPT_INVALID_ARGS",
+        -3: "NLOPT_OUT_OF_MEMORY",
+        -4: "NLOPT_ROUNDOFF_LIMITED",
+        -5: "NLOPT_FORCED_STOP",
+    }
+
+    def _define_nlopt_opt(self, method_kwargs, loss_func, n_free,
+                          hypo_maker):
+        """Build an ``nlopt.opt`` from a reference-schema options dict
+        (cf. reference ``analysis.py:2398-2460``): stopping criteria,
+        algorithm-specific params, inequality constraints (AUGLAG et al.),
+        stochastic population, initial step, and a recursively-constructed
+        ``local_optimizer`` (MLSL / AUGLAG subsidiary optimizers)."""
+        import nlopt
+
+        kwargs = dict(method_kwargs)
+        algo = str(kwargs.get("algorithm", ""))
+        name = algo.upper()
+        if name.startswith("NLOPT_"):
+            name = name[len("NLOPT_"):]
+        if not name:
+            raise ValueError("Need to specify the algorithm to use.")
+        parts = name.split("_")
+        if len(parts[0]) > 1 and parts[0][1] == "D":
+            raise ValueError(
+                "Only gradient-free NLopt algorithms (GN/LN/AUGLAG/MLSL)"
+                " are supported; for gradient-based fits use the native"
+                " 'gradient'/'device' methods, which use analytic"
+                " (autodiff) gradients instead of NLopt's user-supplied"
+                " ones"
+            )
+        try:
+            algorithm = getattr(nlopt, name)
+        except AttributeError:
+            raise ValueError(f"Unknown NLopt algorithm {algo!r}")
+
+        opt = nlopt.opt(algorithm, n_free)
+        opt.set_min_objective(loss_func)
+
+        if "ftol_abs" in kwargs:
+            opt.set_ftol_abs(kwargs["ftol_abs"])
+        if "ftol_rel" in kwargs:
+            opt.set_ftol_rel(kwargs["ftol_rel"])
+        if "xtol_abs" in kwargs:
+            opt.set_xtol_abs(kwargs["xtol_abs"])
+        if "xtol_rel" in kwargs:
+            opt.set_xtol_rel(kwargs["xtol_rel"])
+        if "stopval" in kwargs:
+            opt.set_stopval(kwargs["stopval"])
+        if "maxeval" in kwargs:
+            opt.set_maxeval(int(kwargs["maxeval"]))
+        if "maxtime" in kwargs:
+            opt.set_maxtime(kwargs["maxtime"])
+        for k, v in dict(kwargs.get("algorithm_params", {})).items():
+            opt.set_param(k, v)
+        if "ineq_constraints" in kwargs:
+            for fn in self._nlopt_ineq_constraint_funcs(
+                kwargs["ineq_constraints"], hypo_maker
+            ):
+                opt.add_inequality_constraint(fn)
+        if "population" in kwargs:
+            opt.set_population(int(kwargs["population"]))
+        if "initial_step" in kwargs:
+            opt.set_initial_step(kwargs["initial_step"])
+
+        opt.set_lower_bounds(0.0)
+        opt.set_upper_bounds(1.0)
+
+        if "local_optimizer" in kwargs:
+            opt.set_local_optimizer(
+                self._define_nlopt_opt(
+                    kwargs["local_optimizer"], loss_func, n_free, hypo_maker
+                )
+            )
+        return opt
+
+    def _nlopt_ineq_constraint_funcs(self, exprs, hypo_maker):
+        """NLopt-signature ``f(x, grad) >= 0 -> f <= 0`` constraint
+        callables from expression strings over the (physical-valued)
+        ParamSet (cf. reference
+        ``configure_nlopt_minimization.py``). NLopt requires f(x) <= 0
+        feasible; expressions are written scipy-style (>= 0 feasible) in
+        the repo's constrained-fit dialect, so the sign is flipped here."""
+        if isinstance(exprs, str):
+            exprs = [exprs]
+        funcs = []
+        for expr in exprs:
+            compiled = compile(str(expr), "<ineq_constraint>", "eval")
+
+            def fn(x, grad, _c=compiled, _hm=hypo_maker):
+                if grad.size > 0:
+                    raise RuntimeError(
+                        "inequality constraints are derivative-free"
+                    )
+                _hm._set_rescaled_free_params(np.asarray(x, float))
+                val = eval(  # noqa: S307 - reference-compatible config eval
+                    _c, {"np": np}, {"params": _hm.params}
+                )
+                return -float(val)
+
+            funcs.append(fn)
+        return funcs
+
+    def _fit_nlopt_real(
+        self, data_dist, hypo_maker, metric, external_priors_penalty,
+        method_kwargs, local_fit_kwargs,
+    ):
+        """Fit with the real ``nlopt`` package over [0,1]-rescaled free
+        params (cf. reference ``analysis.py:2218-2470``). Supports every
+        derivative-free NLopt algorithm, AUGLAG inequality constraints and
+        MLSL/AUGLAG subsidiary local optimizers via
+        ``method_kwargs['local_optimizer']``."""
+        import nlopt
+
+        if local_fit_kwargs is not None:
+            logging.warning(
+                "`local_fit_kwargs` are ignored by nlopt fits; use"
+                " method_kwargs['local_optimizer'] for subsidiary"
+                " optimizers"
+            )
+        metric_name = self._metric_name(metric)
+        free = hypo_maker.params.free
+        if len(free) == 0:
+            return self._no_fit_result(
+                data_dist, hypo_maker, metric, external_priors_penalty
+            )
+        x0 = np.asarray(free._rescaled_values, dtype=np.float64)
+        counter = Counter()
+        fit_history = [["metric"] + list(free.names)]
+
+        sign = -1.0 if stats.is_metric_to_maximize(metric_name) else +1.0
+
+        def loss_func(x, grad):
+            if np.any(~np.isfinite(x)):
+                logging.warning(
+                    "NLopt evaluated at non-finite parameters: %s", x
+                )
+                return np.nan
+            if grad.size > 0:
+                raise RuntimeError(
+                    "NLopt gradient request on a derivative-free fit;"
+                    " use the native 'gradient' method for analytic"
+                    " gradients"
+                )
+            val = self._minimizer_callable(
+                x, hypo_maker, data_dist, metric_name, counter, fit_history
+            )
+            if external_priors_penalty is not None:
+                val = val + sign * external_priors_penalty(
+                    hypo_maker, metric_name
+                )
+            return float(val)
+
+        if "seed" in method_kwargs:
+            nlopt.srand(int(method_kwargs.pop("seed")))
+
+        opt = self._define_nlopt_opt(
+            method_kwargs, loss_func, len(x0), hypo_maker
+        )
+
+        t_start = time.time()
+        try:
+            xopt = opt.optimize(x0)
+            nlopt_result = opt.last_optimize_result()
+            fun = float(opt.last_optimum_value())
+        except Exception as exc:  # optimizer failure -> +/-inf result
+            logging.warning("NLopt fit failed: %s", exc)
+            xopt = x0
+            nlopt_result = -1
+            fun = np.inf
+        minimizer_time = time.time() - t_start
+
+        best_x = np.clip(np.asarray(xopt, dtype=np.float64), 0.0, 1.0)
+        hypo_maker._set_rescaled_free_params(best_x)
+
+        metadata = {
+            "success": nlopt_result > 0,
+            "nlopt_result": int(nlopt_result),
+            "message": self._NLOPT_MESSAGES.get(
+                int(nlopt_result), str(nlopt_result)
+            ),
+            "nit": int(opt.get_numevals()),
+            "nfev": int(opt.get_numevals()),
+            "method": f"nlopt:{opt.get_algorithm_name()}",
+        }
+        result = HypoFitResult(
+            metric=metric,
+            metric_val=sign * fun,
+            data_dist=data_dist,
+            hypo_maker=hypo_maker,
+            minimizer_time=minimizer_time,
+            minimizer_metadata=metadata,
+            fit_history=fit_history,
+            counter=counter,
+        )
+        if not metadata["success"]:
+            logging.warning(
+                "NLopt reported failure: %s", metadata["message"]
+            )
         return result
 
 

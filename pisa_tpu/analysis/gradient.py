@@ -183,7 +183,9 @@ class CompiledDistribution:
                     parts.append(np.asarray(m).tobytes())
             if data_variance is not None:
                 parts.append(np.asarray(data_variance).tobytes())
-            return hash(tuple(parts))
+            # the content tuple itself is the key (bytes/str/bool are all
+            # hashable) — collision-proof, unlike hash(tuple(parts))
+            return tuple(parts)
         except Exception:
             return None
 
@@ -370,12 +372,19 @@ class CompiledDetectors:
             parts = [metric, bool(priors)]
             for ds in data_dists:
                 for m in (ds if isinstance(ds, MapSet) else [ds]):
-                    parts.append(
-                        m.hist.tobytes()
-                        if isinstance(m, Map)
-                        else np.asarray(m).tobytes()
-                    )
-            key = hash(tuple(parts))
+                    if isinstance(m, Map):
+                        parts.append(m.hist.tobytes())
+                        # variance matters for variance-based metrics
+                        # (mod_chi2 etc.) — mirror CompiledDistribution's key
+                        if m.variance is not None:
+                            parts.append(m.variance.tobytes())
+                        else:
+                            parts.append(None)
+                    else:
+                        parts.append(np.asarray(m).tobytes())
+            # content tuple as key: collision-proof (cf.
+            # CompiledDistribution._objective_cache_key)
+            key = tuple(parts)
         except Exception:
             key = None
         if key is not None and key in self._objective_cache:

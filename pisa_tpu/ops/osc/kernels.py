@@ -670,7 +670,10 @@ def osc_probs_layers(
             from pisa_tpu.ops.osc.layers import layer_slot_index
 
             expected = layer_slot_index(distances)
-            given = np.sort(np.asarray(slot_index).ravel())
+            # no sorting: the compacted gather/scatter path uses
+            # indices_are_sorted=True, so a permuted-but-complete index set
+            # must be rejected, not silently accepted
+            given = np.asarray(slot_index).ravel()
             if given.size != expected.size or not np.array_equal(
                 given, expected
             ):
@@ -689,8 +692,9 @@ def osc_probs_layers(
                         f" got {given.size}."
                     )
                 raise ValueError(
-                    "slot_index inconsistent with distances (flat"
-                    " layer-major indices of the distance>0 slots):"
+                    "slot_index inconsistent with distances (must be the"
+                    " SORTED flat layer-major indices of the distance>0"
+                    " slots — the compacted path relies on sortedness):"
                     + detail
                     + " Recompute slot_index (layers.layer_slot_index)"
                     " whenever the layer chains change."

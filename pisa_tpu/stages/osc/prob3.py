@@ -515,8 +515,23 @@ class prob3(Stage):  # noqa: N801
             # the event's own grid cell, so gather(flux)*gather(prob) ==
             # gather(flux*prob) exactly — and one gather per container
             # replaces three (TPU gathers dominated the template evaluation).
+            #
+            # This identity holds ONLY for events-rep lookups of grid-sourced
+            # values. It does NOT hold when the apply representation is a
+            # binning (resample averages: avg(f*p) != avg(f)*avg(p)), nor when
+            # nu_flux is already valid per-event in the apply representation
+            # (the unfused path would use the exact per-event flux, not the
+            # grid-averaged one). Both cases fall through to the unfused
+            # branch below.
+            apply_rep = container.representation
+            apply_h = _rep_hash(apply_rep)
+            apply_is_events = isinstance(apply_rep, str)
             fusable = (
-                _rep_hash(container.representation) != calc_h
+                apply_h != calc_h
+                and apply_is_events
+                and not container.validity.get("nu_flux", {}).get(
+                    apply_h, False
+                )
                 and container.validity.get("nu_flux", {}).get(calc_h, False)
                 and container.validity.get("prob_e", {}).get(calc_h, False)
                 and container.validity.get("prob_mu", {}).get(calc_h, False)

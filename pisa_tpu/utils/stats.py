@@ -37,6 +37,7 @@ __all__ = [
     "weighted_chi2",
     "signed_sqrt_mod_chi2",
     "barlow_llh",
+    "barlow_solve_t",
     "conv_llh",
     "generalized_poisson_llh",
 ]
@@ -206,16 +207,30 @@ def mcllh_eff(actual, expected, variance=0.0):
 
 
 def barlow_llh(actual, expected, variance=0.0):
-    """Barlow-Beeston llh with one 'MC source': analytic single-source
-    solution of the Barlow-Beeston conditional likelihood
-    (reference ``stats.py:598`` + ``pisa/utils/barlow.py``).
+    """Barlow-Beeston llh (reference ``stats.py:598`` +
+    ``pisa/utils/barlow.py:64``, after Barlow & Beeston,
+    doi:10.1016/0010-4655(93)90005-W).
 
-    With unweighted counts N = e^2/var and weights w = var/e per bin, solve
-    for the scaled MC expectation f = w*A (A the latent true MC count)
-    maximizing  Poisson(d | f) * Poisson(N | A); the single-source stationary
-    condition is quadratic in A and closed-form, keeping this jit/grad-able.
+    Two input conventions:
+
+    - single source (``expected``/``variance`` shaped like ``actual``):
+      with unweighted counts N = e^2/var and weights w = var/e per bin,
+      the stationary condition is closed-form (quadratic in the latent
+      true MC count A), keeping this jit/grad-able;
+    - **multi-source** (``expected``/``variance`` carrying a leading
+      source axis, shape ``(n_sources,) + actual.shape``): the per-bin
+      profile over the latent per-source counts A_j is solved by a
+      vectorized safeguarded-Newton iteration on the Barlow-Beeston
+      scalar equation (the reference solves the same objective per bin
+      with scipy Powell inside ``Likelihoods.get_llh``).
+
+    Returns the per-bin llh (summed/maximized by callers), 0-referenced by
+    subtracting the saturated MC terms like the reference's barlowLLH.
     """
     d = jnp.asarray(actual)
+    e_in = jnp.asarray(expected)
+    if e_in.ndim == d.ndim + 1:
+        return _barlow_llh_multi(d, e_in, variance)
     e = _clip(expected)
     var = jnp.clip(jnp.asarray(variance) + jnp.zeros_like(e), SMALL_POS, None)
     N = jnp.square(e) / var  # unweighted MC count
@@ -231,6 +246,88 @@ def barlow_llh(actual, expected, variance=0.0):
     # reference's barlowLLH (which returns -llh for minimization; we return
     # the per-bin llh to be summed and maximized)
     llh_mc_sat = N * jnp.log(jnp.clip(N, SMALL_POS, None)) - N - gammaln(N + 1.0)
+    return llh_data + llh_mc - llh_mc_sat
+
+
+def barlow_solve_t(d, w, a, iterations=30):
+    """Safeguarded-Newton solution of the Barlow-Beeston per-bin scalar
+    equation (Barlow & Beeston 1993, eq. 13-16): find t such that
+
+        g(t) = sum_j w_j a_j / (1 + w_j t) - d / (1 - t) = 0,
+
+    whence the profiled latent counts are A_j = a_j / (1 + w_j t). g is
+    strictly decreasing on the bracket (t_min, 1) with t_min =
+    -1/max_j(w_j), so the root is unique; Newton steps are clipped into a
+    shrinking sign-bracket, giving monotone convergence in fixed iteration
+    count (jit/vmap/grad-able; d = 0 gives t = 1 exactly).
+
+    Parameters
+    ----------
+    d : (...,) data counts
+    w : (S, ...) per-event weight of each MC source in each bin
+    a : (S, ...) observed unweighted MC counts per source
+    """
+    d = jnp.asarray(d, dtype=jnp.result_type(float))
+    w = jnp.clip(jnp.asarray(w, dtype=d.dtype), SMALL_POS, None)
+    a = jnp.asarray(a, dtype=d.dtype)
+
+    # clamp the lower bracket for degenerate (all-empty-MC) bins so the
+    # fixed-count bisection stays effective
+    w_max = jnp.max(jnp.where(a > 0, w, SMALL_POS), axis=0)
+    t_min = jnp.maximum(-1.0 / w_max, -1e6)
+    eps = 1e-9
+
+    def g_and_dg(t):
+        u = 1.0 + w * t[None]
+        u = jnp.where(u <= SMALL_POS, SMALL_POS, u)
+        s = jnp.sum(w * a / u, axis=0)
+        ds = -jnp.sum(jnp.square(w) * a / jnp.square(u), axis=0)
+        one_m_t = jnp.clip(1.0 - t, SMALL_POS, None)
+        g = s - d / one_m_t
+        dg = ds - d / jnp.square(one_m_t)
+        return g, dg
+
+    lo = t_min + eps * jnp.abs(t_min)
+    hi = jnp.ones_like(lo) - eps
+    t = jnp.zeros_like(lo)
+
+    def body(_, state):
+        t, lo, hi = state
+        g, dg = g_and_dg(t)
+        # maintain the sign bracket: g(lo) > 0 > g(hi)
+        lo = jnp.where(g > 0, t, lo)
+        hi = jnp.where(g < 0, t, hi)
+        t_newton = t - g / jnp.where(dg == 0, -1.0, dg)
+        inside = (t_newton > lo) & (t_newton < hi)
+        t_next = jnp.where(inside, t_newton, 0.5 * (lo + hi))
+        return t_next, lo, hi
+
+    t, lo, hi = jax.lax.fori_loop(0, iterations, body, (t, lo, hi))
+    # d == 0: exact stationary point is t = 1 (A_j = a_j / (1 + w_j))
+    return jnp.where(d > 0, t, jnp.ones_like(t))
+
+
+def _barlow_llh_multi(d, e, variance):
+    """Multi-source Barlow-Beeston per-bin llh; `e`/`variance` are
+    (S, ...) per-source sumw / sumw2 stacks."""
+    e = jnp.clip(e, SMALL_POS, None)
+    var = jnp.clip(
+        jnp.asarray(variance) + jnp.zeros_like(e), SMALL_POS, None
+    )
+    a = jnp.square(e) / var  # unweighted counts N_j
+    w = var / e  # per-event weights w_j
+
+    t = barlow_solve_t(d, w, a)
+    A = a / jnp.clip(1.0 + w * t[None], SMALL_POS, None)
+    f = jnp.clip(jnp.sum(w * A, axis=0), SMALL_POS, None)
+    A = jnp.clip(A, SMALL_POS, None)
+
+    llh_data = d * jnp.log(f) - f - gammaln(d + 1.0)
+    llh_mc = jnp.sum(a * jnp.log(A) - A - gammaln(a + 1.0), axis=0)
+    llh_mc_sat = jnp.sum(
+        a * jnp.log(jnp.clip(a, SMALL_POS, None)) - a - gammaln(a + 1.0),
+        axis=0,
+    )
     return llh_data + llh_mc - llh_mc_sat
 
 

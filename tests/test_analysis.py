@@ -256,6 +256,100 @@ class TestNloptEquivalent:
             )
 
 
+try:
+    import nlopt as _nlopt  # noqa: F401
+
+    _HAVE_NLOPT = True
+except ImportError:
+    _HAVE_NLOPT = False
+
+
+@pytest.mark.skipif(not _HAVE_NLOPT, reason="nlopt not installed")
+class TestNloptReal:
+    """The REAL nlopt path (cf. reference ``analysis.py:2218-2470``):
+    derivative-free algorithms, stopping criteria, MLSL subsidiary local
+    optimizers, inequality constraints."""
+
+    @pytest.mark.parametrize("algo", ["LN_NELDERMEAD", "LN_SBPLX",
+                                      "LN_COBYLA", "LN_BOBYQA"])
+    def test_recovers_truth(self, hypo_maker, asimov_data, truth, algo):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 40.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {"algorithm": algo, "ftol_abs": 1e-9, "maxeval": 500}, None,
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 0.5
+        assert result.minimizer_metadata["method"].startswith("nlopt:")
+        assert result.minimizer_metadata["nlopt_result"] > 0
+
+    def test_mlsl_with_local_optimizer(self, hypo_maker, asimov_data):
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 43.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {
+                "algorithm": "G_MLSL_LDS",
+                "maxeval": 60,
+                "seed": 1,
+                "local_optimizer": {
+                    "algorithm": "LN_NELDERMEAD",
+                    "ftol_abs": 1e-6,
+                    "maxeval": 20,
+                },
+            },
+            None,
+        )
+        assert np.isfinite(result.metric_val)
+
+    def test_auglag_inequality_constraint(self, hypo_maker, asimov_data):
+        """AUGLAG with a constraint keeping theta23 below 44 degrees: the
+        unconstrained optimum (45 deg) must NOT be reached."""
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 40.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {
+                "algorithm": "AUGLAG",
+                "maxeval": 400,
+                "ineq_constraints": [
+                    "44.0 - params.theta23.value.m_as('degree')"
+                ],
+                "local_optimizer": {
+                    "algorithm": "LN_COBYLA",
+                    "ftol_abs": 1e-8,
+                    "maxeval": 200,
+                },
+            },
+            None,
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert fit_t23 <= 44.0 + 0.1
+
+    def test_gradient_algorithms_rejected_to_native(
+        self, hypo_maker, asimov_data, truth
+    ):
+        """LD_* names run the native analytic-gradient translation even
+        with nlopt installed (the reference rejects them outright)."""
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 40.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {"algorithm": "LD_LBFGS", "ftol_abs": 1e-9, "maxeval": 500},
+            None,
+        )
+        assert "nlopt-equivalent (native" in result.minimizer_metadata[
+            "method"
+        ]
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 0.5
+
+
 class TestMinimizerSettingsFiles:
     """Reference minimizer settings-file schema handling
     (cf. reference ``configure_scipy_minimization.py:23-274`` and
