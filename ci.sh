@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# Local CI harness (cf. reference .github/workflows/pythonpackage.yml:48-58
+# and documentation.yml): fp32 + fp64 test legs, the service support
+# matrix as a committed artifact, example pipelines, a docs build (sphinx
+# when available, structural check otherwise), and a packaging check that
+# imports and tests the package from a non-repo cwd.
+#
+# Usage: ./ci.sh            full run (both precision legs; ~40 min on 1 vCPU)
+#        PISA_TPU_CI_FAST=1 ./ci.sh   smoke legs only (a few minutes)
+set -euo pipefail
+cd "$(dirname "$0")"
+REPO="$PWD"
+ART="$REPO/artifacts/ci"
+mkdir -p "$ART"
+
+FAST="${PISA_TPU_CI_FAST:-0}"
+if [ "$FAST" = "1" ]; then
+    SUITE_ARGS=(tests/test_pipeline_e2e.py tests/test_services.py
+                tests/test_osc_golden.py tests/test_map_and_stats.py)
+else
+    SUITE_ARGS=(tests/)
+fi
+
+step() { echo; echo "=== ci: $* ==="; }
+
+step "packaging: editable install present, imports from non-repo cwd"
+pip show pisa-tpu >/dev/null || pip install -e . --no-deps --no-build-isolation
+( cd /tmp && python -c "import pisa_tpu, pisa_tpu.core.pipeline; print('import OK from', __import__('os').getcwd())" )
+
+step "test leg 1/2: fp32 (TPU-native default precision)"
+PISA_TPU_FTYPE=fp32 python -m pytest "${SUITE_ARGS[@]}" -q -p no:cacheprovider \
+    2>&1 | tail -5 | tee "$ART/pytest_fp32.txt"
+
+step "test leg 2/2: fp64 (golden-parity precision)"
+PISA_TPU_FTYPE=fp64 python -m pytest "${SUITE_ARGS[@]}" -q -p no:cacheprovider \
+    2>&1 | tail -5 | tee "$ART/pytest_fp64.txt"
+
+step "suite subset from a non-repo cwd (packaging/resource-path check)"
+( cd /tmp && PISA_TPU_FTYPE=fp64 python -m pytest \
+    "$REPO/tests/test_map_and_stats.py" "$REPO/tests/test_flux_weights.py" \
+    -q -p no:cacheprovider 2>&1 | tail -3 )
+
+step "service support matrix (artifact: artifacts/ci/service_matrix.md)"
+python -m pisa_tpu.scripts.test_services \
+    --outfile "$ART/service_matrix.md" 2> "$ART/service_matrix.log"
+tail -3 "$ART/service_matrix.md"
+
+step "example scripts (quick subset)"
+for ex in examples/oscillograms.py examples/pisa_modes.py; do
+    echo "-- $ex"
+    JAX_PLATFORMS=cpu timeout 600 python "$ex" >/dev/null
+done
+
+step "docs build"
+if python -c "import sphinx" 2>/dev/null; then
+    ( cd docs && sphinx-build -W -b html source "$ART/docs_html" )
+else
+    echo "sphinx not installed; structural check instead"
+    python - <<'EOF'
+import pathlib, re, sys
+root = pathlib.Path("docs")
+bad = []
+for p in list(root.rglob("*.md")) + list(root.rglob("*.rst")):
+    text = p.read_text(encoding="utf-8")
+    if text.count("```") % 2:
+        bad.append(f"{p}: unbalanced code fences")
+# api stubs must reference importable modules
+for p in (root / "source" / "api").glob("*.rst") if (root / "source" / "api").is_dir() else []:
+    for mod in re.findall(r"automodule:: *([\w.]+)", p.read_text()):
+        try:
+            __import__(mod)
+        except Exception as exc:
+            bad.append(f"{p}: cannot import {mod}: {exc}")
+if bad:
+    print("\n".join(bad)); sys.exit(1)
+print("docs structural check OK")
+EOF
+fi
+
+step "multichip dryrun (8 virtual CPU devices, flagship pipeline)"
+JAX_PLATFORMS=cpu timeout 580 python __graft_entry__.py multichip 8 \
+    2> "$ART/multichip.log" | tee "$ART/multichip.txt"
+
+echo; echo "=== ci: ALL LEGS GREEN ==="

@@ -178,27 +178,59 @@ def _layer_phase_and_projectors(
 
     eye = jnp.eye(4, dtype=dtype)[..., None]
 
-    def HmM(k):
-        return C(H2e.re - eye * m[:, k], H2e.im)
+    # --- deflated spectral projectors --------------------------------------
+    # Conditioning: with an eV^2-scale dm41, ||H2e|| ~ dm41 while the
+    # active-cluster gaps are ~dm21. In the naive Barger product the
+    # (H2e - m_far) factor must annihilate the isolated (sterile-dominated)
+    # eigendirection to the precision of m_far itself — an fp32 eigenvalue
+    # error of eps*dm41 gets amplified by the inverse cluster gaps
+    # (1/dm21 * 1/dm31), observed as O(100) "probabilities" at fp32.
+    # Deflation fixes it: build the ISOLATED state's projector first (all
+    # of its gaps are ~dm41, so it is well-conditioned), then compute the
+    # three cluster projectors from the deflated matrix A = Q H2e Q
+    # (spectral radius ~cluster scale) and re-apply Q to kill the residual
+    # leakage. The isolated eigenvalue is the first or last of the sorted
+    # spectrum (one sterile state); selected per point.
+    far_is_3 = (m[:, 3] - m[:, 2]) >= (m[:, 1] - m[:, 0])  # (M,)
+    m_far = jnp.where(far_is_3, m[:, 3], m[:, 0])
+    mc = [
+        jnp.where(far_is_3, m[:, 0], m[:, 1]),
+        jnp.where(far_is_3, m[:, 1], m[:, 2]),
+        jnp.where(far_is_3, m[:, 2], m[:, 3]),
+    ]
 
-    h = [HmM(k) for k in range(4)]
-    projectors = []
-    for k in range(4):
-        others = [j for j in range(4) if j != k]
-        num = _mul(_mul(h[others[0]], h[others[1]]), h[others[2]])
-        den = (
-            (m[:, k] - m[:, others[0]])
-            * (m[:, k] - m[:, others[1]])
-            * (m[:, k] - m[:, others[2]])
+    def _hfac(c, denom):
+        # (H2e - c I) / denom, c/denom (M,)
+        return C((H2e.re - eye * c) / denom, H2e.im / denom)
+
+    P_far = _mul(
+        _hfac(mc[0], m_far - mc[0]),
+        _mul(_hfac(mc[1], m_far - mc[1]), _hfac(mc[2], m_far - mc[2])),
+    )
+    Q = C(eye - P_far.re, -P_far.im)
+    A = _mul(Q, _mul(H2e, Q))
+
+    def _afac(c, denom):
+        return C((A.re - eye * c) / denom, A.im / denom)
+
+    cluster_projs = []
+    for k in range(3):
+        others = [i for i in range(3) if i != k]
+        B = _mul(
+            _afac(mc[others[0]], mc[k] - mc[others[0]]),
+            _afac(mc[others[1]], mc[k] - mc[others[1]]),
         )
-        inv = 1.0 / den
-        projectors.append(C(num.re * inv, num.im * inv))
+        cluster_projs.append(_mul(Q, _mul(B, Q)))
+
+    projectors = cluster_projs + [P_far]
+    m_list = mc + [m_far]  # aligned with `projectors`
 
     s = -(baseline / energy) * HBAR_C_FACTOR  # (M,)
     phases = [
-        C(jnp.cos(m[:, k] * s), jnp.sin(m[:, k] * s)) for k in range(4)
+        C(jnp.cos(mk * s), jnp.sin(mk * s)) for mk in m_list
     ]
-    return projectors, m, phases, s
+    m_aligned = jnp.stack(m_list, axis=-1)  # (M, 4), projector-aligned
+    return projectors, m_aligned, phases, s
 
 
 def _layer_transition_4nu(

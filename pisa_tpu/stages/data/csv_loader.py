@@ -50,8 +50,22 @@ class csv_loader(Stage):  # noqa: N801
         neutrinos=True,
         dis_idx=None,
         scale_aeff=False,
+        fraction_events_to_keep=None,
         **std_kwargs,
     ):
+        # deterministic down-sampling, mirroring EventsPi's
+        # fraction_events_to_keep (reference events_pi.py:118-160; the
+        # reference csv_loader has no such option — added for fast tests
+        # and prototyping on the data-release files)
+        self.fraction_events_to_keep = (
+            None
+            if fraction_events_to_keep is None
+            else float(fraction_events_to_keep)
+        )
+        if self.fraction_events_to_keep is not None and not (
+            0.0 < self.fraction_events_to_keep <= 1.0
+        ):
+            raise ValueError("fraction_events_to_keep must be in (0, 1]")
         if isinstance(events_file, str):
             events_file = [s.strip() for s in events_file.split(",")]
         self.events_file = [find_resource(f) for f in events_file]
@@ -109,6 +123,20 @@ class csv_loader(Stage):  # noqa: N801
                 events = raw[mask]
             else:
                 events = raw
+
+            if self.fraction_events_to_keep is not None:
+                n_keep = max(
+                    1,
+                    int(
+                        round(
+                            self.fraction_events_to_keep * len(events)
+                        )
+                    ),
+                )
+                # deterministic stride (not RNG): identical subsample for
+                # every run/container ordering
+                step = max(1, len(events) // n_keep)
+                events = events.iloc[::step][:n_keep]
 
             container["initial_weights"] = np.ones(len(events), dtype=FTYPE)
             container["weights"] = np.ones(len(events), dtype=FTYPE)

@@ -299,6 +299,12 @@ class Hypersurface:
         self.coeffts = {k: np.asarray(v, dtype=FTYPE) for k, v in blocks.items()}
         self.fit_cov_mat = cov
         self.fit_valid = valid
+        # retain the fitted datasets for diagnostics/plotting
+        # (cf. reference hypersurface.py fit_param_values/fit_maps usage in
+        # hypersurface_plotting.py)
+        self.fit_param_values = [dict(pv) for pv in sys_param_values]
+        self.fit_maps_norm = np.asarray(y)  # (D, B), log-space if self.log
+        self.fit_sigma = np.asarray(sig)  # (D, B) normalized sigmas
         return self
 
     # -- serialization -----------------------------------------------------------

@@ -51,6 +51,35 @@ class Plotter:
         self.ratio = ratio
         self.fig = None
         self.axes = None
+        self._color_cycle = None
+
+    # -- color cycling (cf. reference plotter.py:128-134) -------------------------
+    def reset_colors(self):
+        import itertools
+
+        import matplotlib.pyplot as plt
+
+        self._color_cycle = itertools.cycle(
+            plt.rcParams["axes.prop_cycle"].by_key()["color"]
+        )
+
+    def next_color(self):
+        if self._color_cycle is None:
+            self.reset_colors()
+        self.color = next(self._color_cycle)
+        return self.color
+
+    def add_leg(self, ax=None):
+        """Legend outside the axes (cf. reference plotter.py:166)."""
+        import matplotlib.pyplot as plt
+
+        ax = ax or plt.gca()
+        handles, labels = ax.get_legend_handles_labels()
+        if handles:
+            ax.legend(
+                handles, labels, loc="upper left",
+                bbox_to_anchor=(1.0, 1.0), fontsize=8,
+            )
 
     # -- low-level ---------------------------------------------------------------
     def init_fig(self, figsize=(8, 6)):
@@ -243,6 +272,191 @@ class Plotter:
         self.axes.set_ylabel("ratio")
         self.axes.legend(fontsize=8)
         self.add_stamp(self.axes)
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    # -- reference-API conveniences (cf. reference plotter.py:182-289) -------------
+
+    def plot_2d_single(self, mapset, fname=None, **kw):
+        """One figure per map of a MapSet (cf. reference
+        ``plotter.py:182``); returns the written paths (or figures)."""
+        out = []
+        for m in mapset:
+            panels = (
+                [m]
+                if len(m.binning.names) == 2
+                else m.split(m.binning.names[-1])
+            )
+            for p in panels:
+                self.init_fig()
+                self.plot_2d_map(p, ax=self.axes, **kw)
+                if fname is not None:
+                    out.extend(self.dump(f"{fname}_{p.name}"))
+                else:
+                    out.append(self.fig)
+        return out
+
+    def plot_1d_array(self, mapset, axis, fname=None, n_cols=4, **kw):
+        """Grid of per-map 1-D projections (cf. reference
+        ``plotter.py:232``)."""
+        import matplotlib.pyplot as plt
+
+        maps = list(mapset)
+        n = len(maps)
+        n_cols = min(n_cols, max(n, 1))
+        n_rows = int(np.ceil(n / n_cols))
+        self.fig, axes = plt.subplots(
+            n_rows, n_cols, figsize=(4 * n_cols, 3.2 * n_rows),
+            squeeze=False,
+        )
+        for i, m in enumerate(maps):
+            ax = axes[i // n_cols][i % n_cols]
+            self.plot_1d_projection(m, axis, ax=ax, **kw)
+            ax.set_title(m.name)
+        for j in range(n, n_rows * n_cols):
+            axes[j // n_cols][j % n_cols].axis("off")
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    def plot_1d_stack(self, mapset, axis, fname=None, **kw):
+        """Stacked (cumulative) 1-D projections of all maps
+        (cf. reference ``plotter.py:253``)."""
+        self.init_fig()
+        self.reset_colors()
+        bottom = None
+        for m in mapset:
+            proj = (
+                m.project(axis) if len(m.binning.names) > 1 else m
+            )
+            dim = proj.binning[axis]
+            edges = np.asarray(dim.bin_edges.magnitude)
+            vals = np.asarray(proj.hist, dtype=np.float64)
+            base = np.zeros_like(vals) if bottom is None else bottom
+            top = base + vals
+            self.axes.fill_between(
+                np.repeat(edges, 2)[1:-1],
+                np.repeat(base, 2),
+                np.repeat(top, 2),
+                label=m.name,
+                color=self.next_color(),
+                **kw,
+            )
+            bottom = top
+        self.axes.set_xlabel(axis)
+        self.axes.set_ylabel("counts")
+        if proj.binning[axis].is_log:
+            self.axes.set_xscale("log")
+        if self.log:
+            self.axes.set_yscale("log")
+        self.axes.legend(fontsize=8)
+        self.add_stamp(self.axes)
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    def plot_1d_cmp(self, mapsets, axis, fname=None, labels=None, **kw):
+        """Overlaid 1-D projections of several MapSets (summed per set)
+        with a ratio panel relative to the first
+        (cf. reference ``plotter.py:264``)."""
+        import matplotlib.pyplot as plt
+
+        self.fig, (ax0, ax1) = plt.subplots(
+            2, 1, sharex=True, figsize=(8, 7),
+            gridspec_kw={"height_ratios": [3, 1]},
+        )
+        self.reset_colors()
+        ref_vals = None
+        labels = labels or [None] * len(mapsets)
+        for ms, label in zip(mapsets, labels):
+            maps = list(ms) if not hasattr(ms, "binning") else [ms]
+            total = None
+            for m in maps:
+                proj = (
+                    m.project(axis)
+                    if len(m.binning.names) > 1
+                    else m
+                )
+                vals = np.asarray(proj.hist, dtype=np.float64)
+                total = vals if total is None else total + vals
+            dim = proj.binning[axis]
+            edges = np.asarray(dim.bin_edges.magnitude)
+            color = self.next_color()
+            name = label or getattr(ms, "name", None) or maps[0].name
+            ax0.step(
+                np.repeat(edges, 2)[1:-1], np.repeat(total, 2),
+                label=name, color=color, **kw,
+            )
+            if ref_vals is None:
+                ref_vals = total
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(ref_vals > 0, total / ref_vals, np.nan)
+            ax1.step(
+                np.repeat(edges, 2)[1:-1], np.repeat(ratio, 2),
+                color=color, **kw,
+            )
+        ax1.axhline(1.0, color="k", lw=0.5)
+        ax1.set_xlabel(axis)
+        ax0.set_ylabel("counts")
+        ax1.set_ylabel("ratio")
+        if dim.is_log:
+            ax0.set_xscale("log")
+        if self.log:
+            ax0.set_yscale("log")
+        ax0.legend(fontsize=8)
+        self.add_stamp(ax0)
+        if fname:
+            return self.dump(fname)
+        return self.fig
+
+    def plot_1d_slices_array(self, mapsets, axis, fname=None, **kw):
+        """Per-slice comparison panels: for every bin of the OTHER
+        dimension, overlay the 1-D `axis` slices of all MapSets with a
+        ratio panel (cf. reference ``plotter.py:239,324``)."""
+        import matplotlib.pyplot as plt
+
+        first = list(mapsets[0])[0]
+        names = list(first.binning.names)
+        if len(names) < 2:
+            raise ValueError("slices need at least a 2-D binning")
+        other = [n for n in names if n != axis][0]
+        n_slices = first.binning[other].num_bins
+
+        n_cols = min(4, n_slices)
+        n_rows = int(np.ceil(n_slices / n_cols))
+        self.fig, axes = plt.subplots(
+            n_rows, n_cols, figsize=(4 * n_cols, 3.2 * n_rows),
+            squeeze=False,
+        )
+        for s in range(n_slices):
+            ax = axes[s // n_cols][s % n_cols]
+            self.reset_colors()
+            for ms in mapsets:
+                total = None
+                for m in ms:
+                    sliced = m.split(other)[s]
+                    proj = (
+                        sliced.project(axis)
+                        if len(sliced.binning.names) > 1
+                        else sliced
+                    )
+                    vals = np.asarray(proj.hist, dtype=np.float64)
+                    total = vals if total is None else total + vals
+                dim = proj.binning[axis]
+                edges = np.asarray(dim.bin_edges.magnitude)
+                ax.step(
+                    np.repeat(edges, 2)[1:-1], np.repeat(total, 2),
+                    color=self.next_color(),
+                    label=getattr(ms, "name", None),
+                    **kw,
+                )
+            ax.set_title(f"{other} bin {s}")
+            ax.set_xlabel(axis)
+            if dim.is_log:
+                ax.set_xscale("log")
+        for j in range(n_slices, n_rows * n_cols):
+            axes[j // n_cols][j % n_cols].axis("off")
         if fname:
             return self.dump(fname)
         return self.fig

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 from scipy import interpolate
 
+from pisa_tpu.utils.resources import find_resource
 from pisa_tpu.utils.flux_weights import (
     calculate_2d_flux_weights,
     load_2d_table,
@@ -19,7 +20,7 @@ def _reference_style_eval(flux_file, energies, coszens, primary):
     """Per-event loop transcription of the integral-preserving scheme, built
     independently with scipy splrep/splev (the algorithm as published)."""
     table = np.genfromtxt(
-        f"pisa_tpu/resources/flux/{flux_file.split('/')[-1]}",
+        find_resource(flux_file),
         usecols=range(5),
     )
     mask = np.all(np.isnan(table) | np.equal(table, 0), axis=1)
@@ -88,7 +89,7 @@ def test_table_value_recovery(honda):
     """Integral-preservation: the spline derivative evaluated at a table
     grid point approximately recovers the table flux value."""
     table = np.genfromtxt(
-        "pisa_tpu/resources/flux/honda-2015-spl-solmin-aa.d", usecols=range(5)
+        find_resource("flux/honda-2015-spl-solmin-aa.d"), usecols=range(5)
     )
     mask = np.all(np.isnan(table) | np.equal(table, 0), axis=1)
     table = table[~mask].T
@@ -125,7 +126,7 @@ def _reference_style_eval_3d(
     (cf. reference ``flux_weights.py:352-604``), built independently with
     scipy splrep/splev."""
     table = np.genfromtxt(
-        f"pisa_tpu/resources/flux/{flux_file.split('/')[-1]}",
+        find_resource(flux_file),
         usecols=range(5),
     )
     mask = np.all(np.isnan(table) | np.equal(table, 0), axis=1)
@@ -243,7 +244,7 @@ def test_enpow2_matches_reference_algorithm(honda):
 
     # transcription with enpow=2: integrate flux*E^2, divide by E^2
     tab = np.genfromtxt(
-        "pisa_tpu/resources/flux/honda-2015-spl-solmin-aa.d",
+        find_resource("flux/honda-2015-spl-solmin-aa.d"),
         usecols=range(5),
     )
     mask = np.all(np.isnan(tab) | np.equal(tab, 0), axis=1)

@@ -1,0 +1,71 @@
+"""
+Flagship-pipeline sharding parity (VERDICT round 1 item 3): the FULL
+IceCube 3-year neutrino pipeline (csv_loader -> honda_ip -> barr_simple ->
+prob3 -> aeff -> hist -> hypersurfaces, 15 free params) sharded over the
+8-device virtual mesh must reproduce the single-device template and
+analytic gradient bit-for-tolerance.
+
+Events are deterministically subsampled (csv_loader
+``fraction_events_to_keep``) to keep the two compiles affordable on the CI
+box; the sharding semantics are event-count independent.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from pisa_tpu.config.parser import parse_pipeline_config
+from pisa_tpu.core.pipeline import Pipeline
+from pisa_tpu.parallel import default_mesh
+
+FRACTION = 0.02  # 4.8k of 240k events
+
+
+def _flagship_config():
+    cfg = parse_pipeline_config(
+        "settings/pipeline/IceCube_3y_neutrinos.cfg"
+    )
+    key = ("data", "csv_loader")
+    assert key in cfg
+    cfg[key]["fraction_events_to_keep"] = FRACTION
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def compiled_pair():
+    ct_ref = Pipeline(_flagship_config()).compile()
+    ct_sh = Pipeline(_flagship_config()).compile()
+    ct_sh.shard(default_mesh())
+    return ct_ref, ct_sh
+
+
+def test_flagship_sharded_template_matches(compiled_pair):
+    ct_ref, ct_sh = compiled_pair
+    v = np.clip(ct_ref.current_rescaled_values() + 0.07, 0.05, 0.95)
+    maps_ref = ct_ref.get_outputs(v)
+    maps_sh = ct_sh.get_outputs(v)
+    assert sorted(m.name for m in maps_ref) == sorted(
+        m.name for m in maps_sh
+    )
+    ref = {m.name: np.asarray(m.hist) for m in maps_ref}
+    for m in maps_sh:
+        np.testing.assert_allclose(
+            np.asarray(m.hist), ref[m.name], rtol=1e-10, atol=1e-12,
+        )
+
+
+def test_flagship_sharded_gradient_matches(compiled_pair):
+    ct_ref, ct_sh = compiled_pair
+    data = ct_ref.get_outputs()
+    _, vg_ref = ct_ref.build_objective(data, "mod_chi2")
+    _, vg_sh = ct_sh.build_objective(data, "mod_chi2")
+    v = np.clip(ct_ref.current_rescaled_values() + 0.06, 0.05, 0.95)
+    val_ref, g_ref = vg_ref(v)
+    val_sh, g_sh = vg_sh(v)
+    np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), rtol=1e-8, atol=1e-12,
+    )
+    assert np.isfinite(np.asarray(g_sh)).all()
+    assert np.max(np.abs(np.asarray(g_sh))) > 0
