@@ -22,5 +22,11 @@ from pisa_tpu.parallel.sharding import (
     default_mesh,
     shard_containers,
 )
+from pisa_tpu.parallel import multihost
 
-__all__ = ["default_mesh", "shard_containers", "build_batched_objective"]
+__all__ = [
+    "default_mesh",
+    "shard_containers",
+    "build_batched_objective",
+    "multihost",
+]
