@@ -5,8 +5,11 @@ external GLoBES C library.
 
 GLoBES is not available in this environment; the stage raises a clear
 ImportError at construction (optional external per the reference's policy).
-For sterile-like new physics use the native ``osc.prob3`` options (NSI,
-decay, LRI) or supply probabilities through ``osc.external``.
+The GLoBES capability (3+1 sterile oscillations) is covered NATIVELY by
+``osc.nusquids`` (``ops/osc/sterile.py``: 4-flavor split-complex kernel,
+NC matter potential, low-pass filtering, differentiable); ``osc.prob3``
+covers NSI/decay/LRI, and arbitrary external probabilities can be supplied
+through ``osc.external``.
 """
 
 from __future__ import annotations
