@@ -717,11 +717,12 @@ def osc_probs_layers(
 # Resolved on hardware 2026-08-18 (TPU v5e): the fwdgrad tangent kernel
 # Mosaic-compiles and passes parity standalone (tests/test_pallas_chain.py::
 # test_fwdgrad_values_and_gradients on-chip), but under the flagship
-# template's slot-compaction/chain-order path Mosaic lowering fails with
-# "Unimplemented primitive ... dynamic_slice" inside the kernel's fori loop;
-# the XLA reverse path measures 200 ms/value_and_grad on the 3y pipeline
-# (artifacts/). Default therefore stays 'xla'; set PISA_TPU_OSC_GRAD=jvp to
-# opt in where the compaction path is off.
+# template it fails Mosaic lowering with "Unimplemented primitive ...
+# dynamic_slice" inside the kernel's fori loop — with AND without the
+# slot-compaction path (PISA_TPU_OSC_SLOT_COMPACT=0 reproduces it), so the
+# blocker is the tangent kernel's own indexing at flagship shapes. The XLA
+# reverse path measures 200 ms/value_and_grad on the 3y pipeline
+# (artifacts/). Default therefore stays 'xla'.
 PALLAS_JVP_AUTO = False
 
 

@@ -213,14 +213,47 @@ def _layer_phase_and_projectors(
     def _afac(c, denom):
         return C((A.re - eye * c) / denom, A.im / denom)
 
-    cluster_projs = []
-    for k in range(3):
-        others = [i for i in range(3) if i != k]
-        B = _mul(
-            _afac(mc[others[0]], mc[k] - mc[others[0]]),
-            _afac(mc[others[1]], mc[k] - mc[others[1]]),
-        )
-        cluster_projs.append(_mul(Q, _mul(B, Q)))
+    # --- second-level deflation --------------------------------------------
+    # The active cluster itself contains a near-degenerate pair at high
+    # energy (mu/tau feel identical matter potentials, so once the vacuum
+    # splittings dm21/2E, dm31/2E are negligible two cluster eigenvalues
+    # coincide to ~dm21 while the matter-split e-like state sits ~2E*V_CC
+    # away).  Building all three cluster projectors directly from A divides
+    # an eps*||A|| eigenvalue error by that tiny pair gap — observed as ~7%
+    # unitarity violation at fp32 around the 500 GeV sterile resonance.
+    # Recurse: split off the most ISOLATED cluster extreme (all of its gaps
+    # are ~the cluster spread, well-conditioned), deflate again, and build
+    # the remaining PAIR's projectors from A2 = Q2 A Q2 whose spectral
+    # radius is ~the pair spread itself, so the division is ~eps-accurate.
+    iso_is_2 = (mc[2] - mc[1]) >= (mc[1] - mc[0])  # (M,)
+    m_iso = jnp.where(iso_is_2, mc[2], mc[0])
+    m_p = jnp.where(iso_is_2, mc[0], mc[1])  # the remaining pair
+    m_q = jnp.where(iso_is_2, mc[1], mc[2])
+
+    P_iso = _mul(
+        _afac(m_p, m_iso - m_p), _afac(m_q, m_iso - m_q)
+    )
+    P_iso = _mul(Q, _mul(P_iso, Q))
+
+    Q2 = C(Q.re - P_iso.re, Q.im - P_iso.im)
+    A2 = _mul(Q2, _mul(A, Q2))
+
+    def _a2fac(c, denom):
+        return C((A2.re - eye * c) / denom, A2.im / denom)
+
+    P_p = _mul(Q2, _mul(_a2fac(m_q, m_p - m_q), Q2))
+    P_q = C(Q2.re - P_p.re, Q2.im - P_p.im)
+
+    # restore the sorted cluster order (projector list order is arbitrary —
+    # each is paired with its own eigenvalue below — but keep it tidy)
+    def _sel(cond, x, y):
+        return C(jnp.where(cond, x.re, y.re), jnp.where(cond, x.im, y.im))
+
+    cluster_projs = [
+        _sel(iso_is_2, P_p, P_iso),
+        _sel(iso_is_2, P_q, P_p),
+        _sel(iso_is_2, P_iso, P_q),
+    ]
 
     projectors = cluster_projs + [P_far]
     m_list = mc + [m_far]  # aligned with `projectors`

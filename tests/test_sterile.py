@@ -278,3 +278,121 @@ def test_gradients_flow():
     np.testing.assert_allclose(
         float(g), float(fd), rtol=5e-3 if FTYPE == np.float64 else 0.1
     )
+
+
+def test_sterile_example_pipeline_e2e():
+    """The packaged sterile_example.cfg runs end-to-end through the full
+    Pipeline path (toy events -> barr flux -> NATIVE osc.nusquids with
+    num_neutrinos=4 and low-pass filtering), cf. reference nusquids
+    pipeline configs (pisa/stages/osc/nusquids.py)."""
+    from pisa_tpu.core.pipeline import Pipeline
+
+    p = Pipeline("settings/pipeline/sterile_example.cfg")
+    outs = p.get_outputs()
+    tot = sum(float(m.nominal_values.sum()) for m in outs)
+    assert np.isfinite(tot) and tot > 0
+    # the osc.nusquids stage must actually be the 4-flavor engine
+    svc = [s for s in p.stages if s.stage_name == "osc"][0]
+    assert getattr(svc, "num_neutrinos", 0) == 4
+
+
+def test_high_energy_resonance_unitarity_fp32():
+    """Regression: around the ~TeV sterile matter resonance the active
+    cluster contains a near-degenerate mu/tau pair; without second-level
+    projector deflation fp32 showed ~8% unitarity violation (row sums
+    1.06-1.08) through the 28-layer PREM chain.  Pin row sums to 2% at
+    fp32 (machine precision at fp64)."""
+    from pisa_tpu.ops.osc.layers import Layers
+    from pisa_tpu.utils.resources import find_resource
+
+    layers = Layers(
+        find_resource("osc/PREM_12layer.dat"),
+        detector_depth=2.0, prop_height=20.0,
+    )
+    layers.setElecFrac(0.4656, 0.4656, 0.4957)
+    cz = np.linspace(-1.0, -0.3, 8)
+    layers.calcLayers(cz)
+    n = int(np.max(layers.n_layers))
+    dens = layers.density.reshape(len(cz), -1)[:, :n]
+    dist = layers.distance.reshape(len(cz), -1)[:, :n]
+
+    U = pmns4_matrix(TH12, TH13, TH23, 0.12, 0.15, 0.0, DCP13, 0.0, 0.0)
+    dms = np.array([0.0, DM21, DM31, 1.0])
+    tol = 0.02 if FTYPE == np.float32 else 1e-6
+    for energy in (100.0, 500.0, 2000.0):
+        E = np.full(len(cz), energy)
+        for nubar in (1, -1):
+            p = np.asarray(
+                osc_probs_layers_4nu(dms, U, nubar, E, dens, dens * 0.468,
+                                     dist)
+            )
+            np.testing.assert_allclose(
+                p.sum(axis=2), 1.0, atol=tol,
+                err_msg=f"E={energy} nubar={nubar}",
+            )
+            assert p.min() > -tol
+
+
+def test_globes_service_conventions():
+    """The native osc.globes service preserves the reference's weight
+    conventions (globes.py:155-172,245-291): CC events get
+    P(nue->flav), P(numu->flav); NC events get the nonsterile survival
+    sum; with theta24=theta34=0 the sterile state decouples and NC
+    weights are untouched."""
+    from pisa_tpu import ureg
+    from pisa_tpu.core.container import Container, ContainerSet
+    from pisa_tpu.stages.osc.globes import globes, init_test
+
+    rng = np.random.RandomState(7)
+    n = 30
+
+    def make_data():
+        containers = []
+        for name, nubar, flav in (
+            ("numu_cc", 1, 1), ("numu_nc", 1, 1), ("nutau_cc", 1, 2),
+        ):
+            c = Container(name, representation="events")
+            c.set_aux_data("nubar", nubar)
+            c.set_aux_data("flav", flav)
+            c["true_energy"] = 10 ** rng.uniform(0.5, 2, n).astype(FTYPE)
+            c["true_coszen"] = rng.uniform(-1, 0, n).astype(FTYPE)
+            c["nu_flux"] = rng.uniform(0.5, 2.0, (n, 2)).astype(FTYPE)
+            c["weights"] = np.ones(n, dtype=FTYPE)
+            containers.append(c)
+        return ContainerSet("test", containers)
+
+    svc = init_test()
+    svc.data = make_data()
+    svc.setup()
+    svc.run()
+
+    for c in svc.data:
+        p4 = np.asarray(c["probability4"])
+        w = np.asarray(c["weights"])
+        flux = np.asarray(c["nu_flux"])
+        flav = int(c["flav"])
+        if c.name.endswith("_cc"):
+            expected = flux[:, 0] * p4[:, 0, flav] + flux[:, 1] * p4[:, 1, flav]
+        else:
+            nonsterile = p4[:, flav, :3].sum(axis=-1)
+            np.testing.assert_allclose(
+                nonsterile, 1.0 - p4[:, flav, 3],
+                atol=5e-2 if FTYPE == np.float32 else 1e-7,
+            )
+            expected = flux[:, 0] * 0.0 + flux[:, 1] * 1.0
+            expected = expected * nonsterile
+        np.testing.assert_allclose(w, expected, rtol=2e-5)
+
+    # sterile decoupled -> NC untouched, CC == plain 3-flavor
+    svc2 = init_test()
+    for pname in ("theta24", "theta34"):
+        svc2.params[pname].value = 0 * ureg.degree
+    svc2.data = make_data()
+    svc2.setup()
+    svc2.run()
+    for c in svc2.data:
+        if c.name.endswith("_nc"):
+            np.testing.assert_allclose(
+                np.asarray(c["prob_nonsterile"]), 1.0,
+                atol=1e-2 if FTYPE == np.float32 else 1e-7,
+            )
