@@ -419,9 +419,24 @@ def _worker_tertiary():
     Asimov device fit); runs CONCURRENTLY with the secondary worker so the
     per-process tunnel sync and host-side setup overlap."""
     try:
-        r = _bench_pipeline_eager(
-            "settings/pipeline/kde_example.cfg", n_templates=10
-        )
+        # the KDE stage is tracer-safe since round 2 (weight-zeroed PID
+        # channels + static fold maps, utils/kde.py), so the KDE pipeline
+        # uses the same in-device scan path as the flagship; eager is the
+        # fallback if compilation ever regresses
+        try:
+            r = _bench_pipeline_indevice(
+                "settings/pipeline/kde_example.cfg", n_templates=10
+            )
+            mode = "in-device"
+        except Exception as exc:
+            print(
+                f"# kde_example compiled path failed ({exc});"
+                " falling back to eager", file=sys.stderr,
+            )
+            r = _bench_pipeline_eager(
+                "settings/pipeline/kde_example.cfg", n_templates=10
+            )
+            mode = "eager"
         print(
             json.dumps(
                 {
@@ -433,7 +448,7 @@ def _worker_tertiary():
             file=sys.stderr,
         )
         print(
-            f"# kde_example: setup {r['setup_compile_s']:.1f}s;"
+            f"# kde_example ({mode}): setup {r['setup_compile_s']:.1f}s;"
             f" {r['ms_per_template']:.1f} ms/template",
             file=sys.stderr,
         )

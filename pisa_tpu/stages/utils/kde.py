@@ -106,6 +106,8 @@ class kde(Stage):  # noqa: N801
             self.apply_function()
 
     def apply_function(self):
+        import jax.numpy as jnp
+
         for container in self.data:
             if self.stash_valid:
                 self.data.representation = self.apply_mode
@@ -122,12 +124,18 @@ class kde(Stage):  # noqa: N801
             dims_log = [d.is_log for d in self.apply_mode]
             sample = []
             for dim, is_log in zip(self.regularized_apply_mode, dims_log):
-                vals = np.asarray(container[dim.name], dtype=np.float64)
+                # jnp end-to-end: event coordinates and weights may be JAX
+                # tracers when the stage runs inside a compiled template
+                # (core/template.py) — the KDE math is tracer-safe
+                vals = jnp.asarray(container[dim.name])
                 if is_log and self.linearize_log_dims:
-                    vals = np.log(vals)
+                    vals = jnp.log(vals)
                 sample.append(vals)
-            sample = np.stack(sample).T
-            weights = np.asarray(container["weights"], dtype=np.float64)
+            sample = jnp.stack(sample).T
+            weights = jnp.asarray(container["weights"])
+            if self.bootstrap:
+                sample = np.asarray(sample, dtype=np.float64)
+                weights = np.asarray(weights, dtype=np.float64)
 
             kde_kwargs = dict(
                 sample=sample,
@@ -162,7 +170,7 @@ class kde(Stage):  # noqa: N801
                 ).ravel()
 
             self.data.representation = self.apply_mode
-            container["weights"] = np.ascontiguousarray(kde_map)
+            container["weights"] = kde_map
             if self.bootstrap:
                 container["errors"] = np.ascontiguousarray(kde_errors)
 
@@ -170,7 +178,9 @@ class kde(Stage):  # noqa: N801
                 if self.stashed_hists is None:
                     self.stashed_hists = {}
                     self.stashed_errors = {}
-                self.stashed_hists[container.name] = kde_map.copy()
+                self.stashed_hists[container.name] = np.asarray(
+                    kde_map
+                ).copy()
                 if self.bootstrap:
                     self.stashed_errors[container.name] = kde_errors.copy()
 

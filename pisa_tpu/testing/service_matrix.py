@@ -63,6 +63,8 @@ MAP_MODE_SERVICES = [
     ("osc", "two_nu_osc"),
     ("osc", "decoherence"),
     ("osc", "external"),
+    ("osc", "nusquids"),
+    ("osc", "globes"),
     ("absorption", "earth_absorption"),
 ]
 

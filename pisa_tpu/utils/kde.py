@@ -20,6 +20,20 @@ The histogram conveniences mirror the reference exactly: coszen reflection
 at the +-1 edges (fraction of bins mirrored and folded back), evaluation at
 (oversampled) bin centers scaled by bin volumes, per-PID-bin stacking, and
 bootstrap error estimation by multinomial resampling.
+
+TPU-first structure: everything derived from the *binning* (evaluation
+grid, reflection fold maps, oversample reduction, bin volumes) is
+precomputed host-side once; the per-call computation — bandwidths, pilot,
+density, reflection fold, oversample reduction — is pure ``jnp`` and safe
+to call with JAX tracers. PID channels are selected by *weight zeroing*
+(``w * mask``) rather than boolean gathering, which is bit-equivalent for
+every weighted statistic (zero-weight events contribute nothing to the
+weighted mean/std, the effective sample size, the pilot geometric mean, or
+the density sum) while keeping shapes static. This lets the whole KDE
+stage trace into a compiled pipeline template
+(:class:`pisa_tpu.core.template.CompiledTemplate`), so KDE pipelines get
+the same one-dispatch-per-batch evaluation as histogram pipelines instead
+of a host round-trip per (container, channel) per template.
 """
 
 from __future__ import annotations
@@ -99,55 +113,23 @@ def adaptive_gaussian_kde(
     return density_at(points, lam)
 
 
-def get_hist(
-    sample,
-    binning,
-    weights=None,
-    bw_method="scott",
-    adaptive=True,
-    alpha=0.3,
-    use_cuda=False,  # accepted for API compat; ignored (XLA picks devices)
-    coszen_reflection=0.25,
-    coszen_name="coszen",
-    oversample=1,
-    bootstrap=False,
-    bootstrap_niter=10,
-    bootstrap_seed=None,
-):
-    """KDE histogram with coszen-edge reflection
-    (cf. reference ``kde_hist.py:35-218``).
-
-    sample : (N, D) array ordered like `binning`; returns an array of
-    `binning.shape` (pre-oversampling), scaled to sum(weights).
-    """
-    sample = np.asarray(sample)
-    if bootstrap and oversample > 1:
-        raise ValueError("Bootstrapping cannot be combined with oversampling.")
-
-    n_evts = sample.shape[0]
-    if weights is None or len(np.atleast_1d(weights)) == 0:
-        weights = np.ones(n_evts)
-        norm = n_evts
-    else:
-        weights = np.nan_to_num(np.asarray(weights, dtype=np.float64))
-        norm = np.sum(weights)
-
-    out_shape = binning.shape
+def _prepare_static(binning, coszen_name, coszen_reflection, oversample):
+    """Host-side precomputation from the binning alone: evaluation grid,
+    coszen-reflection fold geometry, oversample reduction shape, bin
+    volumes and the axis permutation that puts coszen first. Everything
+    here is independent of sample and weights, so per-template evaluation
+    stays pure-jnp."""
+    out_shape = tuple(binning.shape)
     binning = binning.oversample(oversample)
-    x = sample.T.copy()  # (D, N)
-    if x.shape[0] != len(binning.names):
-        raise ValueError("sample dims != binning dims")
-
     names = list(binning.names)
-    cz_bin = names.index(coszen_name) if coszen_name in names else None
-    if cz_bin is None:
+    if coszen_name not in names:
         raise ValueError(f"binning must contain {coszen_name!r}")
-
-    # move coszen to axis 0
+    cz_bin = names.index(coszen_name)
     if cz_bin != 0:
         order = [cz_bin] + [i for i in range(len(names)) if i != cz_bin]
         binning = MultiDimBinning([binning[names[i]] for i in order])
-        x = x[order]
+    else:
+        order = list(range(len(names)))
 
     cz_dim = binning[coszen_name]
     n_refl = int(cz_dim.num_bins * float(coszen_reflection))
@@ -175,58 +157,147 @@ def get_hist(
     grid = np.meshgrid(*bin_points, indexing="ij")
     points = np.stack([g.ravel() for g in grid])  # (D, G)
 
-    def evaluate(w):
-        dens = np.asarray(
-            adaptive_gaussian_kde(
-                x, w, points,
-                bw_method=bw_method, adaptive=adaptive, alpha=alpha,
-            )
-        )
-        return dens.reshape(ext_shape)
+    return {
+        "order": order,
+        "cz_bin": cz_bin,
+        "points": points,
+        "ext_shape": ext_shape,
+        "os_shape": tuple(binning.shape),  # oversampled, coszen-first
+        "n_refl": l,
+        "reflect_lower": reflect_lower,
+        "reflect_upper": reflect_upper,
+        "volume": binning.bin_volumes(attach_units=False),
+        "oversample": int(oversample),
+        "out_shape": out_shape,
+    }
 
-    def apply_reflection(h):
-        pad = np.zeros((binning.shape[0] - l,) + tuple(binning.shape[1:]))
-        if reflect_lower:
-            h0 = np.concatenate([pad, h[:l]], axis=0)[::-1]
+
+def _kde_hist_core(
+    x, weights, static, bw_method="scott", adaptive=True, alpha=0.3,
+    total=None,
+):
+    """Pure-jnp KDE histogram for a prepared binning (tracer-safe).
+
+    x : (D, N) sample ordered like the ORIGINAL binning; weights (N,).
+    Returns an array of the original ``binning.shape``, scaled to
+    ``sum(weights)`` (or to ``total`` when given — the bootstrap scales
+    every replicate to the original total, as the reference does).
+    """
+    x = jnp.atleast_2d(jnp.asarray(x))
+    w = jnp.nan_to_num(jnp.asarray(weights))
+    norm = jnp.sum(w) if total is None else total
+    order = static["order"]
+    if order != list(range(len(order))):
+        x = x[np.asarray(order)]
+
+    dens = adaptive_gaussian_kde(
+        x, w, static["points"],
+        bw_method=bw_method, adaptive=adaptive, alpha=alpha,
+    )
+    h = dens.reshape(static["ext_shape"])
+
+    # fold the reflected coszen slabs back inside the physical range
+    l = static["n_refl"]
+    os_shape = static["os_shape"]
+    if static["reflect_lower"] or static["reflect_upper"]:
+        pad = jnp.zeros((os_shape[0] - l,) + os_shape[1:], dtype=h.dtype)
+        h0 = h1 = None
+        if static["reflect_lower"]:
+            h0 = jnp.flip(jnp.concatenate([pad, h[:l]], axis=0), axis=0)
             h = h[l:]
-        else:
-            h0 = 0
-        if reflect_upper:
-            h1 = np.concatenate([h[-l:], pad], axis=0)[::-1]
+        if static["reflect_upper"]:
+            h1 = jnp.flip(jnp.concatenate([h[-l:], pad], axis=0), axis=0)
             h = h[:-l]
-        else:
-            h1 = 0
-        return h + h0 + h1
+        if h0 is not None:
+            h = h + h0
+        if h1 is not None:
+            h = h + h1
 
-    volume = binning.bin_volumes(attach_units=False)
+    h = h * static["volume"]
+
+    # oversample reduction: each oversampled dim is an exact multiple, so
+    # reduceat(stride=oversample) == reshape + sum
+    ov = static["oversample"]
+    if ov != 1:
+        for axis in range(h.ndim):
+            shape = h.shape
+            n_out = shape[axis] // ov
+            h = h.reshape(
+                shape[:axis] + (n_out, ov) + shape[axis + 1 :]
+            ).sum(axis=axis + 1)
+
+    cz_bin = static["cz_bin"]
+    if cz_bin != 0:
+        h = jnp.swapaxes(h, 0, cz_bin)
+    return h * norm
+
+
+def get_hist(
+    sample,
+    binning,
+    weights=None,
+    bw_method="scott",
+    adaptive=True,
+    alpha=0.3,
+    use_cuda=False,  # accepted for API compat; ignored (XLA picks devices)
+    coszen_reflection=0.25,
+    coszen_name="coszen",
+    oversample=1,
+    bootstrap=False,
+    bootstrap_niter=10,
+    bootstrap_seed=None,
+):
+    """KDE histogram with coszen-edge reflection
+    (cf. reference ``kde_hist.py:35-218``).
+
+    sample : (N, D) array ordered like `binning`; returns an array of
+    `binning.shape` (pre-oversampling), scaled to sum(weights). Safe to
+    call with traced sample/weights when ``bootstrap=False`` (the
+    bootstrap loop draws host-side random resamples).
+    """
+    if bootstrap and oversample > 1:
+        raise ValueError("Bootstrapping cannot be combined with oversampling.")
+
+    traced = isinstance(sample, jax.core.Tracer) or isinstance(
+        weights, jax.core.Tracer
+    )
+    if not traced:
+        sample = np.asarray(sample)
+    n_evts = sample.shape[0]
+    if weights is None or (
+        not traced and len(np.atleast_1d(weights)) == 0
+    ):
+        weights = jnp.ones(n_evts)
+
+    x = jnp.asarray(sample).T  # (D, N)
+    if x.shape[0] != len(binning.names):
+        raise ValueError("sample dims != binning dims")
+
+    static = _prepare_static(
+        binning, coszen_name, coszen_reflection, oversample
+    )
+    kw = dict(bw_method=bw_method, adaptive=adaptive, alpha=alpha)
 
     if bootstrap:
         rng = np.random.default_rng(bootstrap_seed)
+        w_host = np.nan_to_num(np.asarray(weights, dtype=np.float64))
         hists = []
         for _ in range(bootstrap_niter):
             idx = rng.integers(n_evts, size=n_evts)
             counts = np.bincount(idx, minlength=n_evts)
-            hists.append(apply_reflection(evaluate(weights * counts)))
-        hists = np.stack(hists)
-        hist = hists.mean(axis=0) * volume
-        errors = hists.std(axis=0) * volume
-    else:
-        hist = apply_reflection(evaluate(weights)) * volume
-
-    if oversample != 1:
-        for i, b in enumerate(binning):
-            hist = np.add.reduceat(
-                hist, np.arange(0, len(b.bin_edges) - 1, oversample), axis=i
+            hists.append(
+                np.asarray(
+                    _kde_hist_core(
+                        x, w_host * counts, static,
+                        total=w_host.sum(), **kw,
+                    )
+                )
             )
+        hists = np.stack(hists)
+        return hists.mean(axis=0), hists.std(axis=0)
 
-    if cz_bin != 0:
-        hist = np.swapaxes(hist, 0, cz_bin)
-        if bootstrap:
-            errors = np.swapaxes(errors, 0, cz_bin)
-
-    if bootstrap:
-        return hist * norm, errors * norm
-    return hist * norm
+    hist = _kde_hist_core(x, weights, static, **kw)
+    return hist if traced else np.asarray(hist)
 
 
 def kde_histogramdd(
@@ -247,12 +318,21 @@ def kde_histogramdd(
 ):
     """N-dim KDE histogram; with `stack_pid` the 'pid' dimension is treated
     as separate channels, each KDE'd in the remaining dimensions
-    (cf. reference ``kde_hist.py:220-341``)."""
-    sample = np.asarray(sample)
-    if weights is not None and len(np.atleast_1d(weights)) not in (
-        0, sample.shape[0],
-    ):
-        raise ValueError("length of sample and weights incompatible")
+    (cf. reference ``kde_hist.py:220-341``).
+
+    Tracer-safe for ``bootstrap=False``: PID channels are selected by
+    weight zeroing, which is numerically identical to event masking for
+    every weighted KDE statistic while keeping shapes static under jit.
+    """
+    traced = isinstance(sample, jax.core.Tracer) or isinstance(
+        weights, jax.core.Tracer
+    )
+    if not traced:
+        sample = np.asarray(sample)
+        if weights is not None and len(np.atleast_1d(weights)) not in (
+            0, sample.shape[0],
+        ):
+            raise ValueError("length of sample and weights incompatible")
 
     kwargs = dict(
         bw_method=bw_method, adaptive=adaptive, alpha=alpha,
@@ -271,23 +351,42 @@ def kde_histogramdd(
     other_binning = MultiDimBinning([binning[names[i]] for i in other])
 
     hists, errs = [], []
+    sample = jnp.asarray(sample) if traced else sample
     for k in range(len(pid_edges) - 1):
-        mask = (sample[:, pid_bin] >= pid_edges[k]) & (
-            sample[:, pid_bin] < pid_edges[k + 1]
-        )
-        sub = sample[mask][:, other]
-        w = None if weights is None else np.asarray(weights)[mask]
-        res = get_hist(sub, other_binning, weights=w, **kwargs)
         if bootstrap:
+            # host path: true per-channel resampling needs the masked
+            # subset (resample N_k events of channel k)
+            mask = np.asarray(
+                (sample[:, pid_bin] >= pid_edges[k])
+                & (sample[:, pid_bin] < pid_edges[k + 1])
+            )
+            sub = np.asarray(sample)[mask][:, other]
+            w = None if weights is None else np.asarray(weights)[mask]
+            res = get_hist(sub, other_binning, weights=w, **kwargs)
             hists.append(res[0])
             errs.append(res[1])
         else:
-            hists.append(res)
+            mask = (sample[:, pid_bin] >= pid_edges[k]) & (
+                sample[:, pid_bin] < pid_edges[k + 1]
+            )
+            w_all = (
+                jnp.ones(sample.shape[0])
+                if weights is None
+                else jnp.asarray(weights)
+            )
+            w_k = w_all * jnp.asarray(mask, dtype=w_all.dtype)
+            sub = jnp.asarray(sample)[:, np.asarray(other)]
+            hists.append(
+                get_hist(sub, other_binning, weights=w_k, **kwargs)
+            )
 
     def stack_back(channel_hists):
-        stacked = np.stack(channel_hists, axis=0)  # (pid, ...)
+        stack = jnp if traced else np
+        stacked = stack.stack(
+            [stack.asarray(c) for c in channel_hists], axis=0
+        )
         # move pid channel to its original axis position
-        return np.moveaxis(stacked, 0, pid_bin)
+        return stack.moveaxis(stacked, 0, pid_bin)
 
     if bootstrap:
         return stack_back(hists), stack_back(errs)

@@ -33,6 +33,12 @@ def test_two_process_cluster_matches_single_process():
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     env["JAX_PLATFORMS"] = "cpu"
     env["PISA_TPU_FTYPE"] = "fp64"  # exact parity with this process
+    # the worker script's sys.path gets its own dir (tests/), not the repo
+    # root — make pisa_tpu importable even without an editable install
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
 
     procs = [
         subprocess.Popen(

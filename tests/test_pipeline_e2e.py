@@ -167,6 +167,44 @@ class TestKdePipeline:
         for m in out_kde:
             assert np.all(np.asarray(m.hist) >= 0)
 
+    def test_kde_pipeline_compiles(self):
+        """The KDE stage is tracer-safe (weight-zeroed PID channels, static
+        fold/reduction maps), so KDE pipelines compile into the in-device
+        template path like histogram pipelines — compiled output must match
+        the eager stage run, and the objective must be differentiable
+        through the KDE."""
+        import numpy as np
+        from pisa_tpu.core.pipeline import Pipeline
+
+        p = Pipeline("settings/pipeline/kde_example.cfg")
+        out_eager = p.get_outputs()
+        ct = p.compile()
+        out_compiled = ct.get_outputs()
+        for m in out_eager:
+            np.testing.assert_allclose(
+                np.asarray(out_compiled[m.name].hist),
+                np.asarray(m.hist),
+                rtol=1e-6,
+                err_msg=m.name,
+            )
+
+        # gradient flows through the KDE (bandwidths, pilot, fold)
+        value_only, value_and_grad = ct.build_objective(
+            out_eager, metric="chi2"
+        )
+        v0 = ct.current_rescaled_values() * 0.9 + 0.05
+        val, grad = value_and_grad(v0)
+        assert np.isfinite(float(val))
+        grad = np.asarray(grad)
+        assert np.all(np.isfinite(grad)) and np.any(grad != 0)
+
+        # in-device scan path used by bench.py
+        vecs = np.random.RandomState(3).uniform(
+            0.3, 0.7, size=(3, len(v0))
+        )
+        tots = np.asarray(ct.scan_totals(vecs))
+        assert np.all(np.isfinite(tots)) and np.all(tots > 0)
+
 
 class TestTabulate:
     """Notebook display helpers (cf. reference ``pipeline.py:132-146``)."""
