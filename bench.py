@@ -390,13 +390,20 @@ def _worker_secondary():
 
     for name, cfg, baseline, benchfn in (
         ("osc_example", "settings/pipeline/osc_example.cfg",
-         CPU_BASELINE["osc_example"], _bench_pipeline),
+         CPU_BASELINE["osc_example"], _bench_pipeline_indevice),
     ):
         if _remaining() < 60.0:
             print(f"# skipping {name}: out of budget", file=sys.stderr)
             continue
         try:
-            r = benchfn(cfg, n_templates=10)
+            try:
+                r = benchfn(cfg, n_templates=10)
+            except Exception as exc:
+                print(
+                    f"# {name} in-device path failed ({exc}); falling back"
+                    " to the dispatch loop", file=sys.stderr,
+                )
+                r = _bench_pipeline(cfg, n_templates=10)
             rec = {
                 "metric": f"{name}_templates_per_sec",
                 "value": round(r["rate"], 3),
