@@ -711,19 +711,20 @@ def osc_probs_layers(
 
 
 # Whether 'auto' grad mode uses the in-kernel forward-mode (JVP) backward
-# on the Pallas path. Kept False until the tangent kernel's Mosaic compile
-# is validated on real TPU hardware (interpret-mode semantics are pinned
-# by tests/test_pallas_chain.py::test_fwdgrad_values_and_gradients).
-# Resolved on hardware 2026-08-18 (TPU v5e): the fwdgrad tangent kernel
-# Mosaic-compiles and passes parity standalone (tests/test_pallas_chain.py::
-# test_fwdgrad_values_and_gradients on-chip), but under the flagship
-# template it fails Mosaic lowering with "Unimplemented primitive ...
-# dynamic_slice" inside the kernel's fori loop — with AND without the
-# slot-compaction path (PISA_TPU_OSC_SLOT_COMPACT=0 reproduces it), so the
-# blocker is the tangent kernel's own indexing at flagship shapes. The XLA
-# reverse path measures 200 ms/value_and_grad on the 3y pipeline
-# (artifacts/). Default therefore stays 'xla'.
-PALLAS_JVP_AUTO = False
+# on the Pallas path (interpret-mode semantics pinned by
+# tests/test_pallas_chain.py::test_fwdgrad_values_and_gradients).
+# History: on 2026-08-18 the tangent kernel Mosaic-compiled standalone but
+# failed lowering at flagship shapes ("Unimplemented primitive ...
+# dynamic_slice" inside the fori body) — the tangent kernel loaded the
+# geometry as VALUES and dynamic-sliced them per layer, which Mosaic has
+# no lowering for. Resolved 2026-08-19 by switching the tangent kernel to
+# per-layer REF loads exactly like the primal (zero-tangent ref loads pass
+# through jax.jvp): it now compiles at flagship shapes and measures
+# 57-58 ms per flagship value_and_grad vs 200-708 ms for the XLA reverse
+# path on the same chip, with max relative gradient difference 2e-6
+# (head-to-head run recorded in BASELINE_MEASURED.md). Default is
+# therefore the JVP path; set PISA_TPU_OSC_GRAD=xla to opt out.
+PALLAS_JVP_AUTO = True
 
 
 def osc_grad_mode():

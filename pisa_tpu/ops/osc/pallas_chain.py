@@ -134,8 +134,8 @@ def _chain_block_math(p, nl, e, dens_get, dist_get):
     Parameters: ``p(k)`` returns packed scalar k (see layout below);
     ``nl`` is the block's layer-loop bound; ``e`` the (BLOCK_ROWS, LANES)
     energies; ``dens_get(l)``/``dist_get(l)`` return layer l's
-    (BLOCK_ROWS, LANES) slab (a ref load in the primal kernel, a
-    dynamic-slice of a preloaded value in the tangent kernel). Returns the
+    (BLOCK_ROWS, LANES) slab (a ref load in both the primal and the
+    tangent kernel — zero-tangent ref loads pass through jax.jvp). Returns the
     nested ``[a][b]`` list of |amplitude|^2 blocks (a = initial nu_e/nu_mu
     state, b = final flavor).
 
@@ -431,22 +431,22 @@ def _chain_tangent_kernel(
     is not involved)."""
     nl = nl_ref[pl.program_id(0), 0]
     e = e_ref[:]
-    dens = dens_ref[...]
-    dist = dist_ref[...]
     pvals = tuple(pp_ref[0, k] for k in range(57))
     dpvals = tuple(dpp_ref[0, k] for k in range(57))
 
     def fn(pv):
+        # per-layer slabs via REF loads (like the primal kernel), not a
+        # dynamic_slice of a preloaded value: the geometry refs carry zero
+        # tangent, so jax.jvp passes the loads through untouched, and
+        # Mosaic lowers a dynamic ref load where it has no lowering for a
+        # value dynamic_slice inside the fori body (the flagship-shape
+        # compile failure resolved 2026-08-19).
         return _chain_block_math(
             lambda k: pv[k],
             nl,
             e,
-            lambda l: jax.lax.dynamic_index_in_dim(
-                dens, l, axis=0, keepdims=False
-            ),
-            lambda l: jax.lax.dynamic_index_in_dim(
-                dist, l, axis=0, keepdims=False
-            ),
+            lambda l: dens_ref[l],
+            lambda l: dist_ref[l],
         )
 
     _, dvals = jax.jvp(fn, (pvals,), (dpvals,))
