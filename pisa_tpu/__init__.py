@@ -68,6 +68,21 @@ else:
 
 EPSILON = 10 ** -HASH_SIGFIGS
 
+# Honor an explicit JAX_PLATFORMS request via the config API. A site hook in
+# this environment re-appends the experimental 'axon' TPU plugin to
+# jax_platforms regardless of the env var, so e.g. JAX_PLATFORMS=cpu runs
+# (CI legs, the bench CPU-insurance leg, CLI tools on busy machines) would
+# silently initialize the TPU backend anyway. Must run before the first
+# backend initialization; same workaround as tests/conftest.py.
+_requested_platform = os.environ.get("JAX_PLATFORMS")
+if _requested_platform:
+    import jax as _jax_p
+
+    try:
+        _jax_p.config.update("jax_platforms", _requested_platform)
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
 # Number of (virtual) devices to target for sharded evaluation; actual mesh
 # construction happens lazily in pisa_tpu.parallel.
 PISA_TPU_NUM_DEVICES = int(os.environ.get("PISA_TPU_NUM_DEVICES", "0"))
