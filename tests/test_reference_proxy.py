@@ -21,6 +21,7 @@ from reference_proxy import (  # noqa: E402
     pmns_numpy,
 )
 
+from pisa_tpu import FTYPE  # noqa: E402
 from pisa_tpu.ops.osc.kernels import osc_probs_layers  # noqa: E402
 from pisa_tpu.ops.osc.pmns import dm_matrix, pmns_matrix_complex  # noqa: E402
 
@@ -61,8 +62,15 @@ def test_osc_probs_parity(nubar):
     )
 
     assert probs_np.shape == probs_jax.shape == (n, 3, 3)
-    np.testing.assert_allclose(probs_np, probs_jax, atol=1e-9, rtol=1e-9)
-    # unitarity of the proxy itself
+    # the 1e-9 calibration contract is an fp64 statement (the proxy is
+    # complex128 numpy); at fp32 the kernels themselves carry ~1e-3
+    # relative probability error (same scale as the reference's fp32 leg)
+    if FTYPE == np.float64:
+        tol = dict(atol=1e-9, rtol=1e-9)
+    else:
+        tol = dict(atol=1e-5, rtol=5e-3)
+    np.testing.assert_allclose(probs_np, probs_jax, **tol)
+    # unitarity of the proxy itself (always fp64 numpy)
     np.testing.assert_allclose(probs_np.sum(axis=2), 1.0, atol=1e-9)
 
 

@@ -15,6 +15,7 @@ import copy
 import numpy as np
 import pytest
 
+from pisa_tpu import FTYPE
 from pisa_tpu.config.parser import parse_pipeline_config
 from pisa_tpu.core.pipeline import Pipeline
 from pisa_tpu.parallel import default_mesh
@@ -49,10 +50,15 @@ def test_flagship_sharded_template_matches(compiled_pair):
         m.name for m in maps_sh
     )
     ref = {m.name: np.asarray(m.hist) for m in maps_ref}
+    # fp32: the sharded psum reassociates the event reduction, so bins
+    # agree to accumulation roundoff, not bit-for-bit
+    tol = (
+        dict(rtol=1e-10, atol=1e-12)
+        if FTYPE == np.float64
+        else dict(rtol=1e-4, atol=1e-6)
+    )
     for m in maps_sh:
-        np.testing.assert_allclose(
-            np.asarray(m.hist), ref[m.name], rtol=1e-10, atol=1e-12,
-        )
+        np.testing.assert_allclose(np.asarray(m.hist), ref[m.name], **tol)
 
 
 def test_flagship_sharded_gradient_matches(compiled_pair):
@@ -63,9 +69,19 @@ def test_flagship_sharded_gradient_matches(compiled_pair):
     v = np.clip(ct_ref.current_rescaled_values() + 0.06, 0.05, 0.95)
     val_ref, g_ref = vg_ref(v)
     val_sh, g_sh = vg_sh(v)
-    np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-10)
-    np.testing.assert_allclose(
-        np.asarray(g_sh), np.asarray(g_ref), rtol=1e-8, atol=1e-12,
-    )
+    if FTYPE == np.float64:
+        np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), rtol=1e-8, atol=1e-12,
+        )
+    else:
+        # fp32: reassociated reductions; the objective is a sum of ~1e4
+        # per-bin terms and the gradient has near-cancelling entries
+        np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-4)
+        g_ref_a = np.asarray(g_ref)
+        scale = np.max(np.abs(g_ref_a))
+        np.testing.assert_allclose(
+            np.asarray(g_sh) / scale, g_ref_a / scale, atol=1e-3,
+        )
     assert np.isfinite(np.asarray(g_sh)).all()
     assert np.max(np.abs(np.asarray(g_sh))) > 0
