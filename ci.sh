@@ -41,7 +41,10 @@ step "suite subset from a non-repo cwd (packaging/resource-path check)"
     -q -p no:cacheprovider 2>&1 | tail -3 )
 
 step "service support matrix (artifact: artifacts/ci/service_matrix.md)"
-python -m pisa_tpu.scripts.test_services \
+# JAX_PLATFORMS=cpu: CI is a CPU harness — without it, the site hook
+# appends the TPU plugin and the matrix run pays tunnel latency (and
+# fp64-on-TPU produces spurious non-finite failures)
+JAX_PLATFORMS=cpu python -m pisa_tpu.scripts.test_services \
     --outfile "$ART/service_matrix.md" 2> "$ART/service_matrix.log"
 tail -3 "$ART/service_matrix.md"
 
