@@ -90,4 +90,10 @@ def test_two_process_cluster_matches_single_process():
         )
     )
     expected = float(probs[:, 1, 1].sum())
-    assert vals[0] == pytest.approx(expected, rel=1e-10)
+    # workers always run fp64 (exact cross-process parity between them);
+    # when THIS process runs fp32 its reference kernels carry single
+    # precision, so compare at the fp32 scale
+    from pisa_tpu import FTYPE
+
+    rel = 1e-10 if FTYPE == np.float64 else 1e-5
+    assert vals[0] == pytest.approx(expected, rel=rel)

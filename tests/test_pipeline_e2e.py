@@ -176,15 +176,20 @@ class TestKdePipeline:
         import numpy as np
         from pisa_tpu.core.pipeline import Pipeline
 
+        from pisa_tpu import FTYPE
+
         p = Pipeline("settings/pipeline/kde_example.cfg")
         out_eager = p.get_outputs()
         ct = p.compile()
         out_compiled = ct.get_outputs()
+        # compiled tracing reorders fused reductions -> roundoff-level
+        # differences at fp32
+        rtol = 1e-6 if FTYPE == np.float64 else 1e-4
         for m in out_eager:
             np.testing.assert_allclose(
                 np.asarray(out_compiled[m.name].hist),
                 np.asarray(m.hist),
-                rtol=1e-6,
+                rtol=rtol,
                 err_msg=m.name,
             )
 
