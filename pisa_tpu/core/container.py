@@ -324,6 +324,45 @@ class Container:
         self._flatidx_names[key] = tuple(binning.names)
         return idx
 
+    def cached_hist_matrix(self, binning, events_rep=None, max_bins=None):
+        """Dense one-hot ``(n_events, binning.size)`` bin-membership matrix
+        (FTYPE; out-of-range events get an all-zero row), cached like
+        :meth:`cached_flat_indices` so :class:`CompiledTemplate` feeds it to
+        the traced program as a device *argument*.
+
+        ``weights @ matrix`` is then the histogram as one dense matmul
+        (:func:`pisa_tpu.core.translation.histogram_matmul`) — on TPU the
+        MXU path, ~6x faster than the scatter-add at the IceCube-3y shapes.
+
+        Returns None (callers fall back to the scatter histogram) when the
+        cache is cold under tracing, or when the dense matrix would be
+        unreasonably large (``binning.size > max_bins``, default 512 bins,
+        env-overridable via ``PISA_TPU_HIST_MATMUL_MAX_BINS``; 0 disables).
+        """
+        import os
+
+        import jax
+
+        if max_bins is None:
+            max_bins = int(
+                os.environ.get("PISA_TPU_HIST_MATMUL_MAX_BINS", "512")
+            )
+        size = binning.size
+        if size > max_bins:
+            return None
+        if events_rep is None:
+            events_rep = self._representation
+        key = (_rep_hash(events_rep), _rep_hash(binning), "hist_matrix")
+        if key in self._flatidx:
+            return self._flatidx[key]
+        idx = self.cached_flat_indices(binning, events_rep=events_rep)
+        if idx is None or isinstance(idx, jax.core.Tracer):
+            return None
+        matrix = jax.nn.one_hot(idx, size, dtype=FTYPE)
+        self._flatidx[key] = matrix
+        self._flatidx_names[key] = tuple(binning.names)
+        return matrix
+
     def _array_to_binned(self, values, src_rep, dest_binning, averaged=True):
         idx = (
             self.cached_flat_indices(dest_binning, events_rep=src_rep)

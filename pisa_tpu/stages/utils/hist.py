@@ -70,6 +70,14 @@ class hist(Stage):  # noqa: N801
                 )
                 self.data.representation = self.calc_mode
                 container["hist_transform"] = transform
+        else:
+            # events->binned: precompute the dense one-hot bin-membership
+            # matrix per container while coordinates are concrete, so the
+            # per-template histogram is one MXU matmul (the scatter-add
+            # remains the fallback when the matrix is unavailable)
+            self.data.representation = "events"
+            for container in self.data:
+                container.cached_hist_matrix(self.apply_mode)
 
     def apply_function(self):
         if isinstance(self.calc_mode, MultiDimBinning):
@@ -120,26 +128,47 @@ class hist(Stage):  # noqa: N801
                 else:
                     unc = 1.0
                 w = unc * weights
-                # param-independent bin indices: cached across template
-                # evaluations (None during a cold-cache trace -> inline)
-                idx = container.cached_flat_indices(self.apply_mode)
-                hist_w = translation.histogram(
-                    sample, w, self._binning_spec, averaged=False, idx=idx
-                )
-                if self.error_method == "sumw2":
-                    sumw2 = translation.histogram(
-                        sample, jnp.square(w), self._binning_spec,
-                        averaged=False, idx=idx,
+                # MXU path: all weight channels histogrammed in ONE dense
+                # matmul against the cached one-hot membership matrix (one
+                # HBM read of the matrix per template)
+                matrix = container.cached_hist_matrix(self.apply_mode)
+                if matrix is not None:
+                    if self.error_method == "sumw2":
+                        chans = jnp.stack(
+                            [
+                                w,
+                                jnp.square(w),
+                                jnp.square(unc) * weights
+                                if self.apply_unc_weights
+                                else w,
+                            ],
+                            axis=-1,
+                        )
+                        res = translation.histogram_matmul(chans, matrix)
+                        hist_w, sumw2, bin_unc2 = res[:, 0], res[:, 1], res[:, 2]
+                    else:
+                        hist_w = translation.histogram_matmul(w, matrix)
+                else:
+                    # param-independent bin indices: cached across template
+                    # evaluations (None during a cold-cache trace -> inline)
+                    idx = container.cached_flat_indices(self.apply_mode)
+                    hist_w = translation.histogram(
+                        sample, w, self._binning_spec, averaged=False, idx=idx
                     )
-                    bin_unc2 = translation.histogram(
-                        sample,
-                        jnp.square(unc) * weights
-                        if self.apply_unc_weights
-                        else w,
-                        self._binning_spec,
-                        averaged=False,
-                        idx=idx,
-                    )
+                    if self.error_method == "sumw2":
+                        sumw2 = translation.histogram(
+                            sample, jnp.square(w), self._binning_spec,
+                            averaged=False, idx=idx,
+                        )
+                        bin_unc2 = translation.histogram(
+                            sample,
+                            jnp.square(unc) * weights
+                            if self.apply_unc_weights
+                            else w,
+                            self._binning_spec,
+                            averaged=False,
+                            idx=idx,
+                        )
                 container.representation = self.apply_mode
                 container["weights"] = hist_w
                 # histogramming does not invalidate the events representation
