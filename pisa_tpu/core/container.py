@@ -336,8 +336,12 @@ class Container:
 
         Returns None (callers fall back to the scatter histogram) when the
         cache is cold under tracing, or when the dense matrix would be
-        unreasonably large (``binning.size > max_bins``, default 512 bins,
-        env-overridable via ``PISA_TPU_HIST_MATMUL_MAX_BINS``; 0 disables).
+        unreasonably large: ``binning.size > max_bins`` (default 512 bins,
+        env ``PISA_TPU_HIST_MATMUL_MAX_BINS``; 0 disables) OR total element
+        count ``n_events * binning.size`` above the per-container budget
+        (default 5e7 elements = 200 MB fp32, env
+        ``PISA_TPU_HIST_MATMUL_MAX_ELEMS``) — a million-event container at
+        512 bins would otherwise device_put a 2 GB one-hot per container.
         """
         import os
 
@@ -357,6 +361,11 @@ class Container:
             return self._flatidx[key]
         idx = self.cached_flat_indices(binning, events_rep=events_rep)
         if idx is None or isinstance(idx, jax.core.Tracer):
+            return None
+        max_elems = int(
+            float(os.environ.get("PISA_TPU_HIST_MATMUL_MAX_ELEMS", "5e7"))
+        )
+        if max_elems and int(np.shape(idx)[0]) * size > max_elems:
             return None
         matrix = jax.nn.one_hot(idx, size, dtype=FTYPE)
         self._flatidx[key] = matrix

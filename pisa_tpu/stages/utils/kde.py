@@ -106,7 +106,25 @@ class kde(Stage):  # noqa: N801
             self.apply_function()
 
     def apply_function(self):
+        import jax
         import jax.numpy as jnp
+
+        try:  # public alias removed in jax 0.9; same symbol
+            from jax.core import trace_state_clean
+        except ImportError:
+            from jax._src.core import trace_state_clean
+
+        # stash_hists caches concrete numpy histograms across calls; under
+        # tracing (compiled template, core/template.py) that either crashes
+        # on np.asarray(tracer) or — worse — silently bakes a stale numpy
+        # stash into the compiled program as a constant. Refuse clearly.
+        if self.stash_hists and not trace_state_clean():
+            raise TypeError(
+                "kde stage: stash_hists=True cannot run inside a compiled"
+                " template (the stash would bake traced histograms into"
+                " stale constants); set stash_hists=False or run the"
+                " pipeline eagerly"
+            )
 
         for container in self.data:
             if self.stash_valid:

@@ -73,8 +73,16 @@ def adaptive_gaussian_kde(
     points = jnp.atleast_2d(jnp.asarray(points))
     d, n = x.shape
     w = jnp.asarray(weights)
-    w = w / jnp.sum(w)
-    n_eff = 1.0 / jnp.sum(w**2)
+    # zero-total-weight guard (e.g. an empty PID channel selected by weight
+    # zeroing): return an all-zero density instead of 0/0 = NaN, matching
+    # the reference's masked path which histograms an empty subset to zeros
+    sum_w = jnp.sum(w)
+    w = jnp.where(sum_w > 0, w / jnp.where(sum_w > 0, sum_w, 1.0), 0.0)
+    tiny_w = jnp.finfo(w.dtype).tiny
+    n_eff = 1.0 / jnp.clip(jnp.sum(w**2), tiny_w, None)
+    # a NaN coordinate on a zero-weight event would otherwise poison every
+    # evaluation point through 0 * NaN kernel terms
+    x = jnp.where((w > 0)[None, :], x, jnp.nan_to_num(x))
 
     # weighted per-dimension std
     mean = jnp.sum(w[None, :] * x, axis=1)
@@ -228,7 +236,10 @@ def _kde_hist_core(
 
     cz_bin = static["cz_bin"]
     if cz_bin != 0:
-        h = jnp.swapaxes(h, 0, cz_bin)
+        # invert _prepare_static's move-to-front permutation; swapaxes
+        # would only be correct for cz_bin <= 1 (reference kde_hist.py:210
+        # swaps symmetrically because it also builds with swapaxes)
+        h = jnp.moveaxis(h, 0, cz_bin)
     return h * norm
 
 

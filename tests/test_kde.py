@@ -203,3 +203,123 @@ class TestVbwkde:
         mode_hi = x[np.argmax(dens * (x > 0))]
         assert abs(mode_lo + 3) < 0.3
         assert abs(mode_hi - 3) < 0.4
+
+
+# -- ADVICE round-2 regressions ---------------------------------------------
+
+
+def test_zero_weight_channel_gives_zeros_not_nan():
+    """An empty PID channel selected by weight zeroing must produce a zero
+    histogram (like the reference's masked path), not NaN — and its NaN
+    coordinates must not poison other channels (ADVICE r2: kde.py:377)."""
+    rng = np.random.RandomState(3)
+    n = 500
+    e = rng.uniform(1, 9, n)
+    cz = rng.uniform(-0.9, 0.9, n)
+    pid = np.zeros(n)  # every event in the first PID channel
+    # a NaN coordinate on one (zero-weight-in-channel-2) event
+    e[0] = np.nan
+    w = np.ones(n)
+    w[0] = 0.0
+    sample = np.stack([e, cz, pid], axis=1)
+    binning = MultiDimBinning(
+        [
+            OneDimBinning("energy", num_bins=6, is_lin=True, domain=[0, 10]),
+            OneDimBinning(
+                "coszen", num_bins=4, is_lin=True, domain=[-1, 1]
+            ),
+            OneDimBinning("pid", bin_edges=[-0.5, 0.5, 1.5]),
+        ],
+        name="kde_pid",
+    )
+    h = np.asarray(
+        kde_histogramdd(sample, binning, weights=w, stack_pid=True)
+    )
+    assert h.shape == tuple(binning.shape)
+    assert np.all(np.isfinite(h)), "NaN leaked out of an empty PID channel"
+    # channel 2 (pid in [0.5, 1.5)) holds no events -> all zeros
+    assert np.all(h[:, :, 1] == 0.0)
+    # channel 1 carries the weight total (minus KDE mass leaking past the
+    # binning domain edges — a property of the KDE, not of the guard)
+    assert np.isclose(h[:, :, 0].sum(), w.sum(), rtol=2e-2)
+
+
+def test_kde_coszen_axis_geq_2_roundtrip():
+    """With coszen at axis >= 2 (stack_pid=False) the output axes must be in
+    the binning's order — the move-to-front permutation must be inverted
+    with moveaxis, not swapaxes (ADVICE r2: kde.py:231)."""
+    rng = np.random.RandomState(4)
+    n = 800
+    cols = {
+        "a": rng.uniform(0, 1, n),
+        "b": rng.uniform(0, 1, n),
+        "coszen": rng.uniform(-1, 1, n),
+    }
+    w = rng.uniform(0.5, 1.5, n)
+
+    def dim(name, nb, domain):
+        return OneDimBinning(name, num_bins=nb, is_lin=True, domain=domain)
+
+    # distinct per-axis bin counts make any axis permutation detectable
+    b_last = MultiDimBinning(
+        [dim("a", 3, [0, 1]), dim("b", 4, [0, 1]),
+         dim("coszen", 5, [-1, 1])],
+        name="cz_last",
+    )
+    b_first = MultiDimBinning(
+        [dim("coszen", 5, [-1, 1]), dim("a", 3, [0, 1]),
+         dim("b", 4, [0, 1])],
+        name="cz_first",
+    )
+    s_last = np.stack([cols[d.name] for d in b_last], axis=1)
+    s_first = np.stack([cols[d.name] for d in b_first], axis=1)
+    kw = dict(weights=w, stack_pid=False, coszen_reflection=0.25)
+    h_last = np.asarray(kde_histogramdd(s_last, b_last, **kw))
+    h_first = np.asarray(kde_histogramdd(s_first, b_first, **kw))
+    assert h_last.shape == (3, 4, 5)
+    assert h_first.shape == (5, 3, 4)
+    # same physics, axes permuted: moving coszen to the front must match
+    np.testing.assert_allclose(
+        np.moveaxis(h_last, 2, 0), h_first, rtol=1e-5, atol=1e-8
+    )
+
+
+def test_kde_stage_stash_refuses_tracing():
+    """stash_hists=True inside a compiled template raises a clear TypeError
+    instead of ConcretizationTypeError / silently baking stale constants
+    (ADVICE r2: stages/utils/kde.py:181)."""
+    import jax
+
+    from pisa_tpu.stages.utils.kde import init_test
+
+    stage = init_test()
+    stage.stash_hists = True
+
+    def traced(_):
+        stage.apply_function()
+        return _
+
+    with pytest.raises(TypeError, match="stash_hists"):
+        jax.jit(traced)(0.0)
+
+
+def test_cached_hist_matrix_element_budget(monkeypatch):
+    """The dense one-hot histogram matrix is refused when
+    n_events * n_bins exceeds the element budget, not only when
+    n_bins > max_bins (ADVICE r2: container.py:351)."""
+    from pisa_tpu.core.container import Container
+
+    n = 1000
+    rng = np.random.RandomState(5)
+    c = Container("t", representation="events")
+    c["energy"] = rng.uniform(0, 10, n)
+    c["weights"] = np.ones(n)
+    binning = MultiDimBinning(
+        [OneDimBinning("energy", num_bins=16, is_lin=True, domain=[0, 10])],
+        name="budget",
+    )
+    monkeypatch.setenv("PISA_TPU_HIST_MATMUL_MAX_ELEMS", str(n * 16 - 1))
+    assert c.cached_hist_matrix(binning) is None
+    monkeypatch.setenv("PISA_TPU_HIST_MATMUL_MAX_ELEMS", str(n * 16))
+    m = c.cached_hist_matrix(binning)
+    assert m is not None and m.shape == (n, 16)
