@@ -323,7 +323,10 @@ def test_high_energy_resonance_unitarity_fp32():
 
     U = pmns4_matrix(TH12, TH13, TH23, 0.12, 0.15, 0.0, DCP13, 0.0, 0.0)
     dms = np.array([0.0, DM21, DM31, 1.0])
-    tol = 0.02 if FTYPE == np.float32 else 1e-6
+    # post-Newton-Schulz (ops/osc/sterile._unitarize): measured worst
+    # |row sum - 1| on this set is 1.2e-6 at fp32 (was 5.5e-3); bound at
+    # ~15x margin. fp64 is machine precision.
+    tol = 2e-5 if FTYPE == np.float32 else 1e-6
     for energy in (100.0, 500.0, 2000.0):
         E = np.full(len(cz), energy)
         for nubar in (1, -1):
