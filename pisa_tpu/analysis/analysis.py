@@ -200,6 +200,26 @@ class HypoFitResult:
     __repr__ = __str__
 
 
+def _import_nlopt():
+    """The real ``nlopt`` package when importable, else the in-repo
+    scipy-backed shim with the same API surface
+    (:mod:`pisa_tpu.utils.nlopt_shim`) — so the full reference fit
+    schema (cf. reference ``analysis.py:2218-2470``) executes either
+    way. Set ``PISA_TPU_NLOPT_SHIM=1`` to force the shim."""
+    import os
+
+    if os.environ.get("PISA_TPU_NLOPT_SHIM", "0") != "1":
+        try:
+            import nlopt
+
+            return nlopt
+        except ImportError:
+            pass
+    from pisa_tpu.utils import nlopt_shim
+
+    return nlopt_shim
+
+
 def _copy_param(p):
     """Deep-copy a Param without sharing identity."""
     from pisa_tpu.core.param import DerivedParam, Param
@@ -1105,19 +1125,15 @@ class BasicAnalysis:
         algo = str(kwargs.pop("algorithm", "LN_NELDERMEAD")).upper()
         algo = algo.replace("NLOPT_", "")
 
-        try:
-            import nlopt  # noqa: F401
-
-            have_nlopt = True
-        except ImportError:
-            have_nlopt = False
-
         # gradient-based NLopt names (LD_/GD_) always use the native
         # translation: the reference outright rejects them
         # (``analysis.py:2407-2409``), while the native scipy path runs
-        # them with analytic (autodiff) gradients — strictly better
+        # them with analytic (autodiff) gradients — strictly better.
+        # Derivative-free names run the real nlopt schema
+        # (`_fit_nlopt_real`) against the real package when installed or
+        # the in-repo shim otherwise (see `_import_nlopt`).
         gradient_algo = len(algo) > 1 and algo.split("_")[0].endswith("D")
-        if have_nlopt and not gradient_algo:
+        if not gradient_algo:
             real_kwargs = dict(method_kwargs or {})
             real_kwargs["algorithm"] = algo
             return self._fit_nlopt_real(
@@ -1249,7 +1265,7 @@ class BasicAnalysis:
         algorithm-specific params, inequality constraints (AUGLAG et al.),
         stochastic population, initial step, and a recursively-constructed
         ``local_optimizer`` (MLSL / AUGLAG subsidiary optimizers)."""
-        import nlopt
+        nlopt = _import_nlopt()
 
         kwargs = dict(method_kwargs)
         algo = str(kwargs.get("algorithm", ""))
@@ -1343,12 +1359,13 @@ class BasicAnalysis:
         self, data_dist, hypo_maker, metric, external_priors_penalty,
         method_kwargs, local_fit_kwargs,
     ):
-        """Fit with the real ``nlopt`` package over [0,1]-rescaled free
+        """Fit with the ``nlopt`` API — the real package when installed,
+        the in-repo scipy-backed shim otherwise — over [0,1]-rescaled free
         params (cf. reference ``analysis.py:2218-2470``). Supports every
         derivative-free NLopt algorithm, AUGLAG inequality constraints and
         MLSL/AUGLAG subsidiary local optimizers via
         ``method_kwargs['local_optimizer']``."""
-        import nlopt
+        nlopt = _import_nlopt()
 
         if local_fit_kwargs is not None:
             logging.warning(

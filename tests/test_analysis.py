@@ -264,11 +264,14 @@ except ImportError:
     _HAVE_NLOPT = False
 
 
-@pytest.mark.skipif(not _HAVE_NLOPT, reason="nlopt not installed")
 class TestNloptReal:
-    """The REAL nlopt path (cf. reference ``analysis.py:2218-2470``):
+    """The real-nlopt fit path (cf. reference ``analysis.py:2218-2470``):
     derivative-free algorithms, stopping criteria, MLSL subsidiary local
-    optimizers, inequality constraints."""
+    optimizers, inequality constraints. Runs against whichever backend
+    ``analysis._import_nlopt`` resolves — the real nlopt package when
+    installed, the in-repo scipy-backed shim
+    (``pisa_tpu/utils/nlopt_shim.py``) otherwise — so the
+    ``_fit_nlopt_real`` wiring executes in-suite either way."""
 
     @pytest.mark.parametrize("algo", ["LN_NELDERMEAD", "LN_SBPLX",
                                       "LN_COBYLA", "LN_BOBYQA"])
@@ -348,6 +351,132 @@ class TestNloptReal:
         ]
         fit_t23 = result.params["theta23"].value.m_as("degree")
         assert abs(fit_t23 - truth["theta23"]) < 0.5
+
+
+@pytest.mark.skipif(not _HAVE_NLOPT, reason="nlopt not installed")
+class TestNloptRealPackage:
+    """Real-package-only leg: proves the same schema against the actual
+    nlopt C library when it is installed (kept per the reference's
+    required-dependency policy, ``setup.py:86-115``)."""
+
+    def test_recovers_truth_real_package(
+        self, hypo_maker, asimov_data, truth, monkeypatch
+    ):
+        monkeypatch.delenv("PISA_TPU_NLOPT_SHIM", raising=False)
+        ana = BasicAnalysis()
+        hypo_maker.reset_free()
+        hypo_maker.params["theta23"].value = 40.0 * ureg.degree
+        result = ana.fit_recursively(
+            asimov_data, hypo_maker, "mod_chi2", None, "nlopt",
+            {"algorithm": "LN_NELDERMEAD", "ftol_abs": 1e-9,
+             "maxeval": 500}, None,
+        )
+        fit_t23 = result.params["theta23"].value.m_as("degree")
+        assert abs(fit_t23 - truth["theta23"]) < 0.5
+
+
+class TestNloptShimUnit:
+    """Direct unit tests of the scipy-backed nlopt shim's API semantics
+    (``pisa_tpu/utils/nlopt_shim.py``)."""
+
+    def _rosen(self):
+        calls = []
+
+        def f(x, grad):
+            assert grad.size == 0
+            calls.append(np.asarray(x).copy())
+            return float(
+                (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+            )
+
+        return f, calls
+
+    def test_neldermead_converges_and_reports(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        f, calls = self._rosen()
+        opt = nl.opt(nl.LN_NELDERMEAD, 2)
+        opt.set_min_objective(f)
+        opt.set_lower_bounds(-2.0)
+        opt.set_upper_bounds(2.0)
+        opt.set_ftol_abs(1e-12)
+        x = opt.optimize(np.array([-1.0, 1.5]))
+        assert np.allclose(x, [1.0, 1.0], atol=1e-3)
+        assert opt.last_optimize_result() > 0
+        assert opt.get_numevals() == len(calls)
+        assert opt.last_optimum_value() < 1e-6
+        assert "LN_NELDERMEAD" in opt.get_algorithm_name()
+
+    def test_maxeval_enforced(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        f, calls = self._rosen()
+        opt = nl.opt(nl.LN_NELDERMEAD, 2)
+        opt.set_min_objective(f)
+        opt.set_lower_bounds(-2.0)
+        opt.set_upper_bounds(2.0)
+        opt.set_maxeval(17)
+        opt.optimize(np.array([-1.0, 1.5]))
+        assert len(calls) == 17
+        assert opt.last_optimize_result() == nl.MAXEVAL_REACHED
+
+    def test_stopval(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        f, _ = self._rosen()
+        opt = nl.opt(nl.LN_NELDERMEAD, 2)
+        opt.set_min_objective(f)
+        opt.set_lower_bounds(-2.0)
+        opt.set_upper_bounds(2.0)
+        opt.set_stopval(1.0)
+        opt.optimize(np.array([-1.0, 1.5]))
+        assert opt.last_optimize_result() == nl.STOPVAL_REACHED
+        assert opt.last_optimum_value() <= 1.0
+
+    def test_constraints_rejected_on_incapable_algorithm(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        opt = nl.opt(nl.LN_NELDERMEAD, 2)
+        with pytest.raises(nl.invalid_argument):
+            opt.add_inequality_constraint(lambda x, g: x[0] - 0.5)
+
+    def test_cobyla_inequality_constraint(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        f, _ = self._rosen()
+        opt = nl.opt(nl.LN_COBYLA, 2)
+        opt.set_min_objective(f)
+        opt.set_lower_bounds(-2.0)
+        opt.set_upper_bounds(2.0)
+        # feasible iff x0 <= 0.5  (nlopt convention: fn(x) <= 0)
+        opt.add_inequality_constraint(lambda x, g: x[0] - 0.5)
+        opt.set_xtol_rel(1e-10)
+        x = opt.optimize(np.array([0.0, 0.0]))
+        assert x[0] <= 0.5 + 1e-6
+        # constrained optimum of Rosenbrock on x0<=0.5 is at x0=0.5
+        assert abs(x[0] - 0.5) < 5e-2
+
+    def test_srand_determinism(self):
+        from pisa_tpu.utils import nlopt_shim as nl
+
+        f, _ = self._rosen()
+
+        def run():
+            nl.srand(42)
+            opt = nl.opt(nl.G_MLSL_LDS, 2)
+            opt.set_min_objective(f)
+            opt.set_lower_bounds(-2.0)
+            opt.set_upper_bounds(2.0)
+            opt.set_maxeval(200)
+            local = nl.opt(nl.LN_NELDERMEAD, 2)
+            local.set_lower_bounds(-2.0)
+            local.set_upper_bounds(2.0)
+            local.set_maxeval(50)
+            local.set_ftol_abs(1e-8)
+            opt.set_local_optimizer(local)
+            return opt.optimize(np.array([-1.0, 1.5]))
+
+        assert np.allclose(run(), run())
 
 
 class TestMinimizerSettingsFiles:
