@@ -81,6 +81,71 @@ HYPERSURFACE_FUNCS = OrderedDict(
 )
 
 
+#: (func_names, ncoeff, gn_iterations, damping) -> jitted vmapped
+#: Gauss-Newton bin fitter; see Hypersurface.fit
+_BIN_FITTER_CACHE = {}
+
+
+def _get_bin_fitter(func_names, ncoeff, gn_iterations, damping):
+    """Build (or fetch) the compiled all-bins Gauss-Newton fitter for one
+    fit structure. `func_names` is an ordered tuple of
+    (param_name, functional_form_name); the shifted parameter values are
+    traced arguments so the same executable serves any dataset ensemble
+    of the same cardinality (repeated ensemble fits reuse one
+    executable instead of re-jitting per Hypersurface instance)."""
+    key = (func_names, ncoeff, gn_iterations, damping)
+    if key in _BIN_FITTER_CACHE:
+        return _BIN_FITTER_CACHE[key]
+
+    # packing order is positional, matching Hypersurface._unpack's
+    # param_names order
+    forms = [HYPERSURFACE_FUNCS[f][0] for _n, f in func_names]
+    sizes = [HYPERSURFACE_FUNCS[f][1] for _n, f in func_names]
+
+    def unpack(theta_row):
+        intercept = theta_row[0]
+        blocks, ofs = [], 1
+        for sz in sizes:
+            blocks.append(theta_row[ofs:ofs + sz])
+            ofs += sz
+        return intercept, blocks
+
+    def surface(theta_row, shifted_tuple):
+        intercept, blocks = unpack(theta_row)
+        total = intercept
+        for fn, sv, blk in zip(forms, shifted_tuple, blocks):
+            total = total + fn(sv, blk)
+        return total
+
+    def bin_fit(y_b, w_b, theta0, shifted_tuple):
+        def predict(theta):
+            return surface(theta, shifted_tuple)
+
+        def gn_step(theta, _):
+            r = y_b - predict(theta)
+            J = jax.jacfwd(predict)(theta)  # (D, ncoeff)
+            JW = J * w_b[:, None]
+            A = JW.T @ J + damping * jnp.eye(ncoeff, dtype=theta.dtype)
+            g = JW.T @ r
+            return theta + jnp.linalg.solve(A, g), None
+
+        theta, _ = jax.lax.scan(
+            gn_step, theta0, None, length=gn_iterations
+        )
+        # covariance from the normal matrix at the optimum
+        J = jax.jacfwd(predict)(theta)
+        JW = J * w_b[:, None]
+        A = JW.T @ J + damping * jnp.eye(ncoeff, dtype=theta.dtype)
+        cov = jnp.linalg.inv(A)
+        return theta, cov
+
+    fitter = jax.jit(
+        jax.vmap(bin_fit, in_axes=(1, 1, None, None))
+    )
+    _BIN_FITTER_CACHE[key] = fitter
+    return fitter
+
+
 class Hypersurface:
     """Stacked per-bin hypersurfaces: ``scale_b = intercept_b +
     sum_k f_k(p_k - nominal_k; coeffts_k[b])`` (optionally in log space).
@@ -220,12 +285,51 @@ class Hypersurface:
         norm : bool
             fit maps normalized to the nominal map (reference default)
         """
+        prep = self._prepare_fit_arrays(
+            nominal_map, nominal_param_values, sys_maps, sys_param_values,
+            norm=norm,
+        )
+        fitter = self._fitter(gn_iterations, damping)
+        theta, cov = fitter(
+            jnp.asarray(prep["y"]), jnp.asarray(prep["w"]),
+            jnp.asarray(prep["theta0"]),
+            tuple(jnp.asarray(s) for s in prep["shifted"]),
+        )
+        self._ingest_fit(
+            np.array(theta), np.array(cov), prep, sys_param_values
+        )
+        return self
+
+    def _fitter(self, gn_iterations=30, damping=1e-9):
+        """The module-cached compiled vmapped Gauss-Newton fitter for this
+        hypersurface's structure (functional forms, coefficient count,
+        iteration schedule). Shifted param values are traced arguments, so
+        one executable serves any same-cardinality dataset ensemble —
+        repeated ensemble fits (one per map, or whole repeated ensembles)
+        reuse it instead of re-jitting per Hypersurface instance."""
+        return _get_bin_fitter(
+            func_names=tuple(
+                (name, self.func_names[name]) for name in self.param_names
+            ),
+            ncoeff=self.num_coeffts,
+            gn_iterations=int(gn_iterations),
+            damping=float(damping),
+        )
+
+    def _prepare_fit_arrays(
+        self, nominal_map, nominal_param_values, sys_maps,
+        sys_param_values, norm=True,
+    ):
+        """Host-side prep shared by `fit` and the batched ensemble path:
+        normalized y/sigma stacks, 1/sigma^2 weights, validity mask,
+        shifted parameter values and the GN seed."""
         self.nominal_values = dict(nominal_param_values)
         self.using_legacy_data = False
 
         B = self.binning.size
-        D = len(sys_maps)
-        y = np.stack([np.asarray(m.hist).reshape(B) for m in sys_maps])  # (D, B)
+        y = np.stack(
+            [np.asarray(m.hist).reshape(B) for m in sys_maps]
+        ).astype(np.float64)  # (D, B)
         sig = np.stack(
             [
                 np.asarray(
@@ -235,76 +339,61 @@ class Hypersurface:
                 ).reshape(B)
                 for m in sys_maps
             ]
-        )
-        nom = np.asarray(nominal_map.hist).reshape(B)
+        ).astype(np.float64)
+        nom = np.asarray(nominal_map.hist).reshape(B).astype(np.float64)
 
         if norm:
             with np.errstate(divide="ignore", invalid="ignore"):
                 sig = np.where(nom > 0, sig / nom, 0.0)
                 y = np.where(nom > 0, y / nom, 0.0)
         valid = (nom > 0) & np.isfinite(y).all(axis=0)
-        # weights: 1/sigma^2, unit weight where sigma == 0 (zero-MC-error bins)
-        w = np.where(sig > 0, 1.0 / np.clip(sig, 1e-30, None) ** 2, 1.0)
+        # weights: 1/sigma^2, unit weight where sigma == 0 (zero-MC-error
+        # bins); float64 so the square of a tiny sigma cannot underflow
+        w = np.where(sig > 0, 1.0 / np.clip(sig, 1e-150, None) ** 2, 1.0)
         w = np.where(valid[None, :], w, 0.0)
 
         # shifted param values per dataset, stacked per param: (D,)
-        shifted = {
-            name: np.asarray(
-                [pv[name] - nominal_param_values[name] for pv in sys_param_values],
+        shifted = tuple(
+            np.asarray(
+                [
+                    pv[name] - nominal_param_values[name]
+                    for pv in sys_param_values
+                ],
                 dtype=FTYPE,
             )
             for name in self.param_names
-        }
+        )
         if self.log:
             y = np.log(np.clip(y, 1e-10, None))
 
-        ncoeff = self.num_coeffts
-        theta0 = np.zeros(ncoeff, dtype=FTYPE)
+        theta0 = np.zeros(self.num_coeffts, dtype=FTYPE)
         theta0[0] = 0.0 if self.log else 1.0
+        return {
+            "y": y.astype(FTYPE), "w": w.astype(FTYPE), "sig": sig,
+            "valid": valid, "shifted": shifted, "theta0": theta0,
+        }
 
-        def predict(theta_row):
-            # (D,) model predictions for one bin
-            return self._row_surface(theta_row, shifted)
-
-        def bin_fit(y_b, w_b):
-            def gn_step(theta, _):
-                r = y_b - predict(theta)
-                J = jax.jacfwd(predict)(theta)  # (D, ncoeff)
-                JW = J * w_b[:, None]
-                A = JW.T @ J + damping * jnp.eye(ncoeff, dtype=theta.dtype)
-                g = JW.T @ r
-                return theta + jnp.linalg.solve(A, g), None
-
-            theta, _ = jax.lax.scan(
-                gn_step, jnp.asarray(theta0), None, length=gn_iterations
-            )
-            # covariance from the normal matrix at the optimum
-            J = jax.jacfwd(predict)(theta)
-            JW = J * w_b[:, None]
-            A = JW.T @ J + damping * jnp.eye(ncoeff, dtype=theta.dtype)
-            cov = jnp.linalg.inv(A)
-            return theta, cov
-
-        theta, cov = jax.jit(jax.vmap(bin_fit, in_axes=(1, 1)))(
-            jnp.asarray(y), jnp.asarray(w)
-        )
-        theta = np.array(theta)
-        cov = np.array(cov)
-
-        # empty bins: NaN intercept (stage maps non-finite scale -> 1)
+    def _ingest_fit(self, theta, cov, prep, sys_param_values):
+        """Unpack fitted (B, ncoeff) coefficients + covariances into this
+        instance (NaN for empty bins; stage maps non-finite scale -> 1)."""
+        valid = prep["valid"]
+        theta = np.array(theta, dtype=np.float64)
+        cov = np.array(cov, dtype=np.float64)
         theta[~valid] = np.nan
         cov[~valid] = np.nan
         self.intercept = theta[:, 0].astype(FTYPE)
         _, blocks = self._unpack(theta)
-        self.coeffts = {k: np.asarray(v, dtype=FTYPE) for k, v in blocks.items()}
+        self.coeffts = {
+            k: np.asarray(v, dtype=FTYPE) for k, v in blocks.items()
+        }
         self.fit_cov_mat = cov
         self.fit_valid = valid
         # retain the fitted datasets for diagnostics/plotting
         # (cf. reference hypersurface.py fit_param_values/fit_maps usage in
         # hypersurface_plotting.py)
         self.fit_param_values = [dict(pv) for pv in sys_param_values]
-        self.fit_maps_norm = np.asarray(y)  # (D, B), log-space if self.log
-        self.fit_sigma = np.asarray(sig)  # (D, B) normalized sigmas
+        self.fit_maps_norm = np.asarray(prep["y"])  # (D, B); log if self.log
+        self.fit_sigma = np.asarray(prep["sig"])  # (D, B) normalized sigmas
         return self
 
     # -- serialization -----------------------------------------------------------
@@ -381,8 +470,14 @@ def fit_hypersurfaces_from_maps(
     datasets = list(zip(sys_mapsets, sys_param_values))
     if include_nominal:
         datasets = [(nominal_mapset, nominal_param_values)] + datasets
+    pv_list = [pv for _, pv in datasets]
 
-    out = OrderedDict()
+    # batched ensemble fit: prep per map on the host, concatenate the bin
+    # axis across maps, run ONE compiled vmapped Gauss-Newton program for
+    # the whole ensemble, split the results back (vs the reference's
+    # per-bin scipy loop, hypersurface.py:477 — and vs one device round
+    # trip per map, which dominates wall-clock on remote-attached chips)
+    surfaces, preps = [], []
     for m_nom in nominal_mapset:
         hs = Hypersurface(
             binning=binning,
@@ -390,13 +485,36 @@ def fit_hypersurfaces_from_maps(
             func_names=params,
             log=log,
         )
-        hs.fit(
-            nominal_map=m_nom,
-            nominal_param_values=nominal_param_values,
-            sys_maps=[ms[m_nom.name] for ms, _ in datasets],
-            sys_param_values=[pv for _, pv in datasets],
-            norm=norm,
+        preps.append(
+            hs._prepare_fit_arrays(
+                nominal_map=m_nom,
+                nominal_param_values=nominal_param_values,
+                sys_maps=[ms[m_nom.name] for ms, _ in datasets],
+                sys_param_values=pv_list,
+                norm=norm,
+            )
         )
+        surfaces.append(hs)
+
+    fitter = surfaces[0]._fitter()
+    y_all = np.concatenate([p["y"] for p in preps], axis=1)
+    w_all = np.concatenate([p["w"] for p in preps], axis=1)
+    theta, cov = jax.device_get(  # one host sync for both outputs
+        fitter(
+            jnp.asarray(y_all), jnp.asarray(w_all),
+            jnp.asarray(preps[0]["theta0"]),
+            tuple(jnp.asarray(s) for s in preps[0]["shifted"]),
+        )
+    )
+
+    out = OrderedDict()
+    ofs = 0
+    for m_nom, hs, prep in zip(nominal_mapset, surfaces, preps):
+        B = hs.binning.size
+        hs._ingest_fit(
+            theta[ofs:ofs + B], cov[ofs:ofs + B], prep, pv_list
+        )
+        ofs += B
         out[m_nom.name] = hs
     return out
 
