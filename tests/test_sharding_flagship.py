@@ -11,6 +11,7 @@ box; the sharding semantics are event-count independent.
 """
 
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -20,7 +21,15 @@ from pisa_tpu.config.parser import parse_pipeline_config
 from pisa_tpu.core.pipeline import Pipeline
 from pisa_tpu.parallel import default_mesh
 
-FRACTION = 0.02  # 4.8k of 240k events
+# Default: deterministic 2% subsample (4.8k of 240k events) keeps the two
+# compiles affordable on the CI box. PISA_TPU_FULL_SHARD=1 runs the parity
+# at the FULL 240k-event shape (slow; pair it with
+# XLA_FLAGS=--xla_cpu_collective_call_terminate_timeout_seconds=1200 so
+# XLA:CPU's 40 s collective rendezvous abort cannot fire mid-eval on a
+# time-sliced 1-vCPU host) — the on-record full-shape run lives in
+# artifacts/full_shard_parity_*.log.
+FULL_SHARD = os.environ.get("PISA_TPU_FULL_SHARD", "") == "1"
+FRACTION = None if FULL_SHARD else 0.02
 
 
 def _flagship_config():
@@ -29,7 +38,8 @@ def _flagship_config():
     )
     key = ("data", "csv_loader")
     assert key in cfg
-    cfg[key]["fraction_events_to_keep"] = FRACTION
+    if FRACTION is not None:
+        cfg[key]["fraction_events_to_keep"] = FRACTION
     return cfg
 
 
@@ -50,6 +60,19 @@ def test_flagship_sharded_template_matches(compiled_pair):
         m.name for m in maps_sh
     )
     ref = {m.name: np.asarray(m.hist) for m in maps_ref}
+    n_ev = {}
+    for c in ct_ref.pipeline.data.containers:
+        rep0 = c.representation
+        try:
+            c.representation = "events"
+            n_ev[c.name] = int(np.shape(c["weights"])[0])
+        finally:
+            c.representation = rep0
+    print(
+        f"\n[shard-parity] fraction={FRACTION} total_events="
+        f"{sum(n_ev.values())} per_container={n_ev} "
+        f"hist_shapes={[(m.name, np.asarray(m.hist).shape) for m in maps_sh][:3]}..."
+    )
     # fp32: the sharded psum reassociates the event reduction, so bins
     # agree to accumulation roundoff, not bit-for-bit
     tol = (
