@@ -88,6 +88,31 @@ print("docs structural check OK")
 EOF
 fi
 
+step "executed notebooks (committed outputs present, no error outputs)"
+python - <<'EOF'
+import sys
+import nbformat
+
+bad = []
+for name in ("oscillograms", "icecube_3y_fit"):
+    path = f"examples/notebooks/{name}.ipynb"
+    try:
+        nb = nbformat.read(path, as_version=4)
+        nbformat.validate(nb)
+    except Exception as exc:
+        bad.append(f"{path}: {exc}")
+        continue
+    outs = [o for c in nb.cells for o in c.get("outputs", [])]
+    if not outs:
+        bad.append(f"{path}: no executed outputs committed")
+    for o in outs:
+        if o.get("output_type") == "error":
+            bad.append(f"{path}: error output {o.get('ename')}")
+if bad:
+    print("\n".join(bad)); sys.exit(1)
+print("notebooks OK (regenerate with: python docs/make_notebooks.py)")
+EOF
+
 step "multichip dryrun (8 virtual CPU devices, flagship pipeline)"
 JAX_PLATFORMS=cpu timeout 580 python __graft_entry__.py multichip 8 \
     2> "$ART/multichip.log" | tee "$ART/multichip.txt"
