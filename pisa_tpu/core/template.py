@@ -106,10 +106,59 @@ class CompiledTemplate:
             self._rescale.append((float(lo), float(hi), bool(p.scales_as_log)))
         self.names = list(pipeline.data.names) if pipeline.data.names else None
 
+        # Constant-stage hoisting: the leading prefix of stages with no
+        # free-parameter dependence is executed ONCE here (eagerly,
+        # concretely) and its container writes ride along as device
+        # arguments; only the remaining stages are traced into the
+        # per-template program. This is the compiled-template analog of the
+        # reference's per-stage param-hash compute cache
+        # (``pisa/core/stage.py:536-557``): a free-param-less stage's
+        # output never changes between minimizer iterations, so
+        # re-evaluating it per template is pure waste (measured: the
+        # honda_ip flux splines alone cost ~2 ms of the flagship's ~7 ms
+        # in-device template before hoisting; benchmarks/attribution.py).
+        self._hoisted_stages, self._traced_stages = self._split_stages()
+        for stage in self._hoisted_stages:
+            stage.run()
+
         self._place_container_data()
         self._populate_flatidx_caches()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
+
+    def _split_stages(self):
+        """(hoisted, traced): the maximal leading run of stages none of
+        whose params is free (directly or through a DerivedParam
+        dependency) is hoisted — run once at compile time; everything from
+        the first free-param-dependent stage onward is traced per template.
+
+        Only a PREFIX is safe: a free-param-less stage downstream of a
+        traced one (e.g. utils.hist) consumes per-template values. Stages
+        may opt out with a ``never_hoist = True`` attribute; the env flag
+        ``PISA_TPU_HOIST=0`` disables hoisting entirely.
+        """
+        import os
+
+        stages = list(self.pipeline.stages)
+        if os.environ.get("PISA_TPU_HOIST", "1") in ("0", "off", "false"):
+            return [], stages
+
+        def _expand(p):
+            # a DerivedParam is free-dependent if any dependency is
+            yield p
+            for dep in getattr(p, "dependson", {}).values() or ():
+                yield from _expand(dep)
+
+        free_ids = {id(p) for p in self._free_params}
+        hoisted = []
+        for stage in stages:
+            depends_on_free = any(
+                id(q) in free_ids for p in stage.params for q in _expand(p)
+            )
+            if depends_on_free or getattr(stage, "never_hoist", False):
+                break
+            hoisted.append(stage)
+        return hoisted, stages[len(hoisted):]
 
     def _populate_flatidx_caches(self):
         """Discovery pass: abstractly trace the template once, recording
@@ -250,7 +299,9 @@ class CompiledTemplate:
                             c._data[key][h] = arr
                 for p, mag in zip(self._free_params, mags):
                     p._value = Quantity(mag, p.units)
-                for stage in pipeline.stages:
+                for stage in getattr(
+                    self, "_traced_stages", pipeline.stages
+                ):
                     stage.run()
                 pipeline.data.representation = self.output_binning
                 hists = {}

@@ -80,7 +80,10 @@ from pisa_tpu.ops.osc.kernels import (
 __all__ = [
     "osc_probs_layers_pallas",
     "osc_probs_layers_pallas_fwdgrad",
+    "osc_probs_layers_pallas_fwdgrad_prepared",
+    "prepare_chain_geometry",
     "chain_probs_pallas",
+    "chain_probs_pallas_prepared",
     "chain_tangent_pallas",
 ]
 
@@ -511,23 +514,49 @@ def _prep_blocks(energy, densities, distances):
     return e2, dens, dist, nl_blocks, rows, grid, n_pad
 
 
-def chain_probs_pallas(
-    pvec, energy, densities, distances, *, interpret=False, raw=False,
-):
-    """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
-    (N, L). Returns probs (N, 3, 3) (or the raw (N, 2, 3) e/mu-state rows
-    with ``raw=True``; the tau row follows from double stochasticity).
+def prepare_chain_geometry(energy, densities, distances, order=None):
+    """Precompute EVERY parameter-independent kernel input from the static
+    geometry: the (rows, 128)-blocked energy, the (L, rows, 128) layer
+    slabs, the per-block dynamic layer bounds, and (with `order`) the
+    chain-length sort / unsort permutations.
 
-    Each block's layer loop runs only to the longest chain in the block
-    (trailing zero-length slots are skipped entirely); callers that sort
-    points by chain length first (see ``osc_probs_layers_pallas(order=)``)
-    turn that into a ~mean-chain-length trip count."""
-    dtype = energy.dtype
-    n = energy.shape[0]
-    n_layers = densities.shape[1]
-    e2, dens, dist, nl_blocks, rows, grid, n_pad = _prep_blocks(
+    The geometry never changes between minimizer iterations, so doing this
+    inside the per-template program (gather-sort of the (N, L) slabs, pads,
+    transposes, an (N,) argsort) is pure per-template waste — measured at
+    a large share of the flagship osc stage's wall-clock. Callers run this
+    once at stage setup (concrete arrays) and feed the result to
+    :func:`chain_probs_pallas_prepared` /
+    :func:`osc_probs_layers_pallas_fwdgrad_prepared`.
+
+    Returns a dict of arrays: ``e2, dens, dist, nl`` (+ ``order``/``inv``
+    int32 when `order` is given). The original point count is NOT encoded
+    (padding obscures it); pass it to the prepared entry points.
+    """
+    energy = jnp.asarray(energy)
+    densities = jnp.asarray(densities)
+    distances = jnp.asarray(distances)
+    geom = {}
+    if order is not None:
+        order = jnp.asarray(order, dtype=jnp.int32)
+        geom["order"] = order
+        geom["inv"] = jnp.argsort(order).astype(jnp.int32)
+        energy = energy[order]
+        densities = densities[order]
+        distances = distances[order]
+    e2, dens, dist, nl_blocks, _rows, _grid, _n_pad = _prep_blocks(
         energy, densities, distances
     )
+    geom.update(e2=e2, dens=dens, dist=dist, nl=nl_blocks)
+    return geom
+
+
+def _launch_primal(pvec, e2, dens, dist, nl_blocks, n, *, interpret, raw):
+    """pallas_call of the primal kernel over pre-blocked inputs."""
+    dtype = e2.dtype
+    rows = e2.shape[0]
+    n_layers = dens.shape[0]
+    grid = rows // BLOCK_ROWS
+    n_pad = rows * LANES
 
     out = pl.pallas_call(
         partial(_chain_kernel, n_layers=n_layers),
@@ -569,6 +598,44 @@ def chain_probs_pallas(
     return _tau_epilogue(p2)
 
 
+def chain_probs_pallas(
+    pvec, energy, densities, distances, *, interpret=False, raw=False,
+):
+    """Raw kernel launch: pvec (1,57); energy (N,); densities/distances
+    (N, L). Returns probs (N, 3, 3) (or the raw (N, 2, 3) e/mu-state rows
+    with ``raw=True``; the tau row follows from double stochasticity).
+
+    Each block's layer loop runs only to the longest chain in the block
+    (trailing zero-length slots are skipped entirely); callers that sort
+    points by chain length first (see ``osc_probs_layers_pallas(order=)``)
+    turn that into a ~mean-chain-length trip count."""
+    n = energy.shape[0]
+    e2, dens, dist, nl_blocks, _rows, _grid, _n_pad = _prep_blocks(
+        energy, densities, distances
+    )
+    return _launch_primal(
+        pvec, e2, dens, dist, nl_blocks, n, interpret=interpret, raw=raw
+    )
+
+
+def chain_probs_pallas_prepared(pvec, geom, n, *, interpret=False,
+                                raw=False):
+    """Primal launch over :func:`prepare_chain_geometry` output; `n` is
+    the original (pre-padding) point count. Applies the unsort permutation
+    (``geom['inv']``) unless ``raw=True`` (raw output stays in sorted
+    order, as the tangent kernel's does)."""
+    p2 = _launch_primal(
+        pvec, geom["e2"], geom["dens"], geom["dist"], geom["nl"], n,
+        interpret=interpret, raw=True,
+    )
+    if raw:
+        return p2
+    probs = _tau_epilogue(p2)
+    if "inv" in geom:
+        probs = probs[geom["inv"]]
+    return probs
+
+
 def _tau_epilogue(p2):
     """(N, 2, 3) e/mu-state rows -> (N, 3, 3) with the tau row from double
     stochasticity (|U|^2 of a unitary has unit column sums)."""
@@ -582,12 +649,23 @@ def chain_tangent_pallas(
     """Forward-mode tangent of :func:`chain_probs_pallas` (raw (N, 2, 3)
     output) for ONE tangent direction `dpvec` of the packed parameters,
     via the in-body-jvp tangent kernel."""
-    dtype = energy.dtype
     n = energy.shape[0]
-    n_layers = densities.shape[1]
-    e2, dens, dist, nl_blocks, rows, grid, n_pad = _prep_blocks(
+    e2, dens, dist, nl_blocks, _rows, _grid, _n_pad = _prep_blocks(
         energy, densities, distances
     )
+    return _launch_tangent(
+        pvec, dpvec, e2, dens, dist, nl_blocks, n, interpret=interpret
+    )
+
+
+def _launch_tangent(pvec, dpvec, e2, dens, dist, nl_blocks, n, *,
+                    interpret=False):
+    """pallas_call of the tangent kernel over pre-blocked inputs."""
+    dtype = e2.dtype
+    rows = e2.shape[0]
+    n_layers = dens.shape[0]
+    grid = rows // BLOCK_ROWS
+    n_pad = rows * LANES
 
     dout = pl.pallas_call(
         partial(_chain_tangent_kernel, n_layers=n_layers),
@@ -851,6 +929,89 @@ def _fwdgrad_bwd(nubar, reparam, nlo_factor, interpret, res, g):
 
 
 _probs_pallas_fwdgrad.defvjp(_fwdgrad_fwd, _fwdgrad_bwd)
+
+
+def _zero_cot(x):
+    """Cotangent zero matching custom_vjp conventions: float0 for integer
+    leaves (the sort permutations), zeros_like for float leaves."""
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+        return _float0_zeros(x)
+    return jnp.zeros_like(x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _probs_pallas_fwdgrad_prep(
+    nubar, reparam, nlo_factor, interpret, n, theta, geom
+):
+    pvec = _theta_to_pvec(theta, reparam, nubar, nlo_factor,
+                          geom["e2"].dtype)
+    return chain_probs_pallas_prepared(
+        pvec, geom, n, interpret=interpret
+    )
+
+
+def _theta_to_pvec(theta, reparam, nubar, nlo_factor, dtype):
+    dm_vac, U, mat_pot, lri_pot = _build_standard(
+        theta, reparam, nubar, nlo_factor, dtype
+    )
+    return _pack_from_physics(dm_vac, U, mat_pot, lri_pot, nubar, dtype)
+
+
+def _fwdgrad_prep_fwd(nubar, reparam, nlo_factor, interpret, n, theta,
+                      geom):
+    dtype = geom["e2"].dtype
+    pvec = _theta_to_pvec(theta, reparam, nubar, nlo_factor, dtype)
+    # raw (pre-tau-row, still sorted) primal: saved so the backward can
+    # linearize the clamped tau reconstruction without re-running the
+    # kernel
+    p2 = chain_probs_pallas_prepared(
+        pvec, geom, n, interpret=interpret, raw=True
+    )
+    probs_s = _tau_epilogue(p2)
+    probs = probs_s[geom["inv"]] if "inv" in geom else probs_s
+    return probs, (theta, geom, p2)
+
+
+def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, res, g):
+    theta, geom, p2 = res
+    g_s = g[geom["order"]] if "order" in geom else g
+
+    def theta_to_pvec(th):
+        return _theta_to_pvec(th, reparam, nubar, nlo_factor,
+                              geom["e2"].dtype)
+
+    pvec = theta_to_pvec(theta)
+    k_dim = theta.shape[0]
+    grads = []
+    for k in range(k_dim):
+        e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
+        _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
+        dp2 = _launch_tangent(
+            pvec, dpvec, geom["e2"], geom["dens"], geom["dist"],
+            geom["nl"], n, interpret=interpret,
+        )
+        _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
+        grads.append(jnp.sum(g_s * dprobs_s))
+    dtheta = jnp.stack(grads).astype(theta.dtype)
+    return dtheta, {k: _zero_cot(v) for k, v in geom.items()}
+
+
+_probs_pallas_fwdgrad_prep.defvjp(_fwdgrad_prep_fwd, _fwdgrad_prep_bwd)
+
+
+def osc_probs_layers_pallas_fwdgrad_prepared(
+    theta, nubar, geom, n, reparam=False, nlo_factor=1.0, interpret=False,
+):
+    """Standard-path propagation with the forward-mode gradient over
+    PRE-BLOCKED geometry (:func:`prepare_chain_geometry`): the
+    per-template program contains ONLY the 57-scalar physics pack, the
+    Pallas kernel and the unsort gather — no per-template sort gathers,
+    pads, transposes or argsort of the static (N, L) layer slabs. `n` is
+    the original point count."""
+    return _probs_pallas_fwdgrad_prep(
+        int(nubar), bool(reparam), float(nlo_factor), bool(interpret),
+        int(n), jnp.asarray(theta), geom,
+    )
 
 
 def osc_probs_layers_pallas_fwdgrad(

@@ -56,6 +56,19 @@ def shard_containers(data, mesh, axis_name="data"):
     for container in data.containers:
         for key, per_rep in container._data.items():
             for rep_hash, arr in per_rep.items():
+                if key.startswith("osc_blk_"):
+                    # pre-blocked Pallas kernel geometry: the point axis is
+                    # folded into a (rows, 128) layout, so leading-axis
+                    # sharding would split the wrong dimension; replicate
+                    # (the multi-device path propagates through the XLA
+                    # kernel formulation, which uses the unblocked keys)
+                    per_rep[rep_hash] = jax.device_put(
+                        np.asarray(arr)
+                        if not isinstance(arr, jax.Array)
+                        else arr,
+                        NamedSharding(mesh, P()),
+                    )
+                    continue
                 if np.ndim(arr) >= 1 and arr.shape[0] % n != 0:
                     logging.debug(
                         "container %s key %s: leading axis %d not divisible"

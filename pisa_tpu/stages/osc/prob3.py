@@ -263,6 +263,27 @@ class prob3(Stage):  # noqa: N801
                 from pisa_tpu.ops.osc.layers import layer_slot_index
 
                 container["layer_slot_index"] = layer_slot_index(distances)
+
+                # Pre-blocked kernel geometry for the Pallas fast path:
+                # sort by chain length, pad/reshape to (L, rows, 128)
+                # slabs and compute per-block layer bounds ONCE here
+                # (static geometry) instead of inside every per-template
+                # program — see pallas_chain.prepare_chain_geometry.
+                from pisa_tpu.ops.osc.kernels import _pallas_mode
+
+                if _pallas_mode() is not None:
+                    from pisa_tpu.ops.osc.pallas_chain import (
+                        prepare_chain_geometry,
+                    )
+
+                    geom = prepare_chain_geometry(
+                        np.asarray(container["true_energy"], dtype=FTYPE),
+                        np.asarray(densities, dtype=FTYPE),
+                        np.asarray(distances, dtype=FTYPE),
+                        order=container["layer_chain_order"],
+                    )
+                    for gk, gv in geom.items():
+                        container[f"osc_blk_{gk}"] = gv
         self.data.unlink_containers()
 
     # -- compute --------------------------------------------------------------
@@ -457,7 +478,28 @@ class prob3(Stage):  # noqa: N801
                 not in ("0", "off")
                 else None
             )
-            if use_fwdgrad:
+            if use_fwdgrad and "osc_blk_e2" in container:
+                # pre-blocked static geometry (prepared at setup): the
+                # per-template program is just pack + kernel + unsort
+                from pisa_tpu.ops.osc.pallas_chain import (
+                    osc_probs_layers_pallas_fwdgrad_prepared,
+                )
+
+                geom = {
+                    gk: jnp.asarray(container[f"osc_blk_{gk}"])
+                    for gk in ("e2", "dens", "dist", "nl", "order", "inv")
+                    if f"osc_blk_{gk}" in container
+                }
+                probs = osc_probs_layers_pallas_fwdgrad_prepared(
+                    theta_vec,
+                    int(container["nubar"]),
+                    geom,
+                    n=container.size,
+                    reparam=self.reparam_mix_matrix,
+                    nlo_factor=1.020 if self.include_nlo else 1.0,
+                    interpret=(pallas_mode == "interpret"),
+                )
+            elif use_fwdgrad:
                 from pisa_tpu.ops.osc.pallas_chain import (
                     osc_probs_layers_pallas_fwdgrad,
                 )

@@ -338,3 +338,63 @@ def test_odd_sizes_padding():
         )
     )
     np.testing.assert_allclose(part, full[:77], atol=1e-6)
+
+
+def test_fwdgrad_prepared_matches_unprepared():
+    """The prepared-geometry fwdgrad path (static blocks computed once via
+    prepare_chain_geometry, as prob3 does at setup) must reproduce the
+    unprepared path's values AND parameter gradients exactly (identical
+    kernel launches; only the block prep moved out of the traced
+    program)."""
+    from pisa_tpu.ops.osc.pallas_chain import (
+        osc_probs_layers_pallas_fwdgrad,
+        osc_probs_layers_pallas_fwdgrad_prepared,
+        prepare_chain_geometry,
+    )
+
+    rng = np.random.RandomState(13)
+    n, n_layers = 80, 6
+    e = 10 ** rng.uniform(0, 2, n)
+    nl = rng.randint(1, 7, n)
+    dens = rng.uniform(1, 10, (n, n_layers))
+    dist = rng.uniform(50, 1000, (n, n_layers))
+    for i, k in enumerate(nl):
+        dens[i, k:] = 0.0
+        dist[i, k:] = 0.0
+    order = np.argsort(np.count_nonzero(dist > 0, axis=1)).astype(np.int32)
+    theta = jnp.asarray([0.58, 0.15, 0.78, 1.2, 7.4e-5, 2.5e-3])
+
+    geom = prepare_chain_geometry(
+        jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist), order=order
+    )
+    ref = np.asarray(
+        osc_probs_layers_pallas_fwdgrad(
+            theta, 1, e, dens, dist, interpret=True, order=order
+        )
+    )
+    out = np.asarray(
+        osc_probs_layers_pallas_fwdgrad_prepared(
+            theta, 1, geom, n=n, interpret=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)  # identical math
+
+    w = jnp.asarray(rng.uniform(-1, 1, (n, 3, 3)))
+
+    def loss_prep(th):
+        return jnp.sum(
+            w * osc_probs_layers_pallas_fwdgrad_prepared(
+                th, 1, geom, n=n, interpret=True
+            )
+        )
+
+    def loss_ref(th):
+        return jnp.sum(
+            w * osc_probs_layers_pallas_fwdgrad(
+                th, 1, e, dens, dist, interpret=True, order=order
+            )
+        )
+
+    g1 = np.asarray(jax.grad(loss_prep)(theta))
+    g2 = np.asarray(jax.grad(loss_ref)(theta))
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=0)
