@@ -329,7 +329,10 @@ def _worker_headline():
                 0.95, x0[names.index("theta23")] + 0.10
             )
             los, his = ct._current_bounds()
-            datas = ct._all_data_vals()
+            # CompiledTemplate's objective takes the flat per-container
+            # data-argument list (CompiledDistribution's takes a list per
+            # pipeline via _all_data_vals)
+            datas = ct._data_vals
 
             def _one_fit():
                 return device_fit.minimize_on_device(

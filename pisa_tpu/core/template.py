@@ -409,7 +409,13 @@ class CompiledTemplate:
             rescaled_vector = self.current_rescaled_values()
         out = self(rescaled_vector)
         maps = []
-        for name, flat in out["hist"].items():
+        # jit canonicalizes dict outputs to sorted-key order; restore the
+        # pipeline's container order so the MapSet matches the eager path
+        names = [n for n in (self.names or []) if n in out["hist"]] or list(
+            out["hist"]
+        )
+        for name in names:
+            flat = out["hist"][name]
             err = (
                 np.asarray(out["error"][name]) if "error" in out else None
             )

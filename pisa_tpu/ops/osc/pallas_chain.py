@@ -91,10 +91,15 @@ import os as _os
 
 LANES = 128
 # points per grid step = BLOCK_ROWS * LANES; overridable for tuning sweeps.
-# Swept on TPU v5e at flagship geometry (vmapped x32, sorted chains):
-# 8 -> 0.334 ms/propagation, 16 -> 0.310, 32 -> 0.312; 16 balances grid
-# overhead against per-block chain-length homogeneity.
-BLOCK_ROWS = int(_os.environ.get("PISA_TPU_OSC_BLOCK_ROWS", "16"))
+# Swept on TPU v5e at flagship geometry (sorted chains). Sequential
+# single-propagation launches — the fit-loop / headline access pattern —
+# measure 8 -> 1.103, 16 -> 1.217, 32 -> 1.207 ms/propagation
+# (2026-08-19, prepared-geometry scan probe): smaller blocks keep
+# per-block chains homogeneous so the dynamic layer bound trims more
+# padding (27.3% vs 28.2% of the dense layer-step rectangle). An earlier
+# vmapped-x32 sweep preferred 16; the sequential pattern dominates real
+# fits, so 8 is the default.
+BLOCK_ROWS = int(_os.environ.get("PISA_TPU_OSC_BLOCK_ROWS", "8"))
 
 # atan(t)/t on [0, 1] as a degree-9 polynomial in t^2 (Chebyshev-node
 # least-squares fit; max abs error 1.8e-9 < fp32 eps).
