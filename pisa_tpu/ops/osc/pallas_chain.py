@@ -944,9 +944,9 @@ def _zero_cot(x):
     return jnp.zeros_like(x)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _probs_pallas_fwdgrad_prep(
-    nubar, reparam, nlo_factor, interpret, n, theta, geom
+    nubar, reparam, nlo_factor, interpret, n, active, theta, geom
 ):
     pvec = _theta_to_pvec(theta, reparam, nubar, nlo_factor,
                           geom["e2"].dtype)
@@ -962,8 +962,8 @@ def _theta_to_pvec(theta, reparam, nubar, nlo_factor, dtype):
     return _pack_from_physics(dm_vac, U, mat_pot, lri_pot, nubar, dtype)
 
 
-def _fwdgrad_prep_fwd(nubar, reparam, nlo_factor, interpret, n, theta,
-                      geom):
+def _fwdgrad_prep_fwd(nubar, reparam, nlo_factor, interpret, n, active,
+                      theta, geom):
     dtype = geom["e2"].dtype
     pvec = _theta_to_pvec(theta, reparam, nubar, nlo_factor, dtype)
     # raw (pre-tau-row, still sorted) primal: saved so the backward can
@@ -977,7 +977,8 @@ def _fwdgrad_prep_fwd(nubar, reparam, nlo_factor, interpret, n, theta,
     return probs, (theta, geom, p2)
 
 
-def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, res, g):
+def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
+                      res, g):
     theta, geom, p2 = res
     g_s = g[geom["order"]] if "order" in geom else g
 
@@ -987,8 +988,15 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, res, g):
 
     pvec = theta_to_pvec(theta)
     k_dim = theta.shape[0]
-    grads = []
-    for k in range(k_dim):
+    # `active` (static tuple of theta indices, or None = all): tangent
+    # propagations run ONLY for the fit's free oscillation parameters —
+    # the stage knows which of (theta12, theta13, theta23, deltacp, dm21,
+    # dm31) are fixed, and a fixed component's cotangent is discarded by
+    # the upstream stack() vjp anyway. The flagship fit frees 3 of 6,
+    # halving the gradient's kernel work.
+    ks = range(k_dim) if active is None else active
+    grads = {}
+    for k in ks:
         e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
         _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
         dp2 = _launch_tangent(
@@ -996,8 +1004,11 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, res, g):
             geom["nl"], n, interpret=interpret,
         )
         _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
-        grads.append(jnp.sum(g_s * dprobs_s))
-    dtheta = jnp.stack(grads).astype(theta.dtype)
+        grads[k] = jnp.sum(g_s * dprobs_s)
+    zero = jnp.zeros((), theta.dtype)
+    dtheta = jnp.stack(
+        [grads.get(k, zero) for k in range(k_dim)]
+    ).astype(theta.dtype)
     return dtheta, {k: _zero_cot(v) for k, v in geom.items()}
 
 
@@ -1006,16 +1017,23 @@ _probs_pallas_fwdgrad_prep.defvjp(_fwdgrad_prep_fwd, _fwdgrad_prep_bwd)
 
 def osc_probs_layers_pallas_fwdgrad_prepared(
     theta, nubar, geom, n, reparam=False, nlo_factor=1.0, interpret=False,
+    active=None,
 ):
     """Standard-path propagation with the forward-mode gradient over
     PRE-BLOCKED geometry (:func:`prepare_chain_geometry`): the
     per-template program contains ONLY the 57-scalar physics pack, the
     Pallas kernel and the unsort gather — no per-template sort gathers,
     pads, transposes or argsort of the static (N, L) layer slabs. `n` is
-    the original point count."""
+    the original point count.
+
+    `active` (optional tuple of indices into theta): restrict the
+    backward pass's tangent propagations to these components; the others
+    get zero gradient. Callers pass the indices of the FREE oscillation
+    parameters (a fixed parameter's cotangent is discarded upstream)."""
     return _probs_pallas_fwdgrad_prep(
         int(nubar), bool(reparam), float(nlo_factor), bool(interpret),
-        int(n), jnp.asarray(theta), geom,
+        int(n), None if active is None else tuple(int(i) for i in active),
+        jnp.asarray(theta), geom,
     )
 
 

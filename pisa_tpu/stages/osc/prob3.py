@@ -490,6 +490,23 @@ class prob3(Stage):  # noqa: N801
                     for gk in ("e2", "dens", "dist", "nl", "order", "inv")
                     if f"osc_blk_{gk}" in container
                 }
+                # tangent propagations only for the FREE oscillation
+                # params (fixed components' cotangents are discarded
+                # upstream); the flagship fit frees 3 of the 6
+                active = tuple(
+                    i
+                    for i, prm in enumerate(
+                        (
+                            self.params.theta12,
+                            self.params.theta13,
+                            self.params.theta23,
+                            self.params.deltacp,
+                            self.params.deltam21,
+                            self.params.deltam31,
+                        )
+                    )
+                    if not prm.is_fixed
+                )
                 probs = osc_probs_layers_pallas_fwdgrad_prepared(
                     theta_vec,
                     int(container["nubar"]),
@@ -498,6 +515,7 @@ class prob3(Stage):  # noqa: N801
                     reparam=self.reparam_mix_matrix,
                     nlo_factor=1.020 if self.include_nlo else 1.0,
                     interpret=(pallas_mode == "interpret"),
+                    active=active,
                 )
             elif use_fwdgrad:
                 from pisa_tpu.ops.osc.pallas_chain import (

@@ -398,3 +398,39 @@ def test_fwdgrad_prepared_matches_unprepared():
     g1 = np.asarray(jax.grad(loss_prep)(theta))
     g2 = np.asarray(jax.grad(loss_ref)(theta))
     np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=0)
+
+
+def test_fwdgrad_prepared_active_subset():
+    """With active=(1,2,5) the backward must return the full-gradient
+    values on the active components and exactly zero on the rest."""
+    from pisa_tpu.ops.osc.pallas_chain import (
+        osc_probs_layers_pallas_fwdgrad_prepared,
+        prepare_chain_geometry,
+    )
+
+    rng = np.random.RandomState(5)
+    n, n_layers = 64, 5
+    e = 10 ** rng.uniform(0, 2, n)
+    dens = rng.uniform(1, 10, (n, n_layers))
+    dist = rng.uniform(50, 1000, (n, n_layers))
+    dist[:, -1] = 0.0
+    order = np.argsort(np.count_nonzero(dist > 0, axis=1)).astype(np.int32)
+    geom = prepare_chain_geometry(
+        jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist), order=order
+    )
+    theta = jnp.asarray([0.58, 0.15, 0.78, 1.2, 7.4e-5, 2.5e-3])
+    w = jnp.asarray(rng.uniform(-1, 1, (n, 3, 3)))
+
+    def loss(th, active):
+        return jnp.sum(
+            w * osc_probs_layers_pallas_fwdgrad_prepared(
+                th, 1, geom, n=n, interpret=True, active=active
+            )
+        )
+
+    g_full = np.asarray(jax.grad(lambda t: loss(t, None))(theta))
+    g_act = np.asarray(jax.grad(lambda t: loss(t, (1, 2, 5)))(theta))
+    np.testing.assert_allclose(g_act[[1, 2, 5]], g_full[[1, 2, 5]],
+                               rtol=1e-6)
+    assert np.all(g_act[[0, 3, 4]] == 0.0)
+    assert np.abs(g_full[[0, 3, 4]]).max() > 0  # full path really differs
