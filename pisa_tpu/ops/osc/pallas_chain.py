@@ -134,48 +134,66 @@ def _atan2_pos(y, x):
     return jnp.where(x < 0, jnp.pi - a, a)
 
 
-def _chain_block_math(p, nl, e, dens_get, dist_get):
-    """Full layer-chain propagation for one block of points, as a pure
-    function of the packed parameter SCALARS — so the tangent kernel can
-    differentiate it with an in-body ``jax.jvp``.
+def _unpack_params(pv):
+    """Packed 57-scalar tuple -> (U, M_eff, L_eff, dm00, dm10, dm20).
 
-    Parameters: ``p(k)`` returns packed scalar k (see layout below);
-    ``nl`` is the block's layer-loop bound; ``e`` the (BLOCK_ROWS, LANES)
-    energies; ``dens_get(l)``/``dist_get(l)`` return layer l's
-    (BLOCK_ROWS, LANES) slab (a ref load in both the primal and the
-    tangent kernel — zero-tangent ref loads pass through jax.jvp). Returns the
-    nested ``[a][b]`` list of |amplitude|^2 blocks (a = initial nu_e/nu_mu
-    state, b = final flavor).
-
-    Packed params: U re/im at 0/9, M_eff re/im at 18/27, L_eff re/im at
-    36/45, dm_vac[:, 0] at 54..56."""
+    Layout: U re/im at 0/9, M_eff re/im at 18/27, L_eff re/im at 36/45,
+    dm_vac[:, 0] at 54..56."""
     U = [
-        [C(p(3 * i + j), p(9 + 3 * i + j)) for j in range(3)]
+        [C(pv[3 * i + j], pv[9 + 3 * i + j]) for j in range(3)]
         for i in range(3)
     ]
     Me = [
-        [C(p(18 + 3 * i + j), p(27 + 3 * i + j)) for j in range(3)]
+        [C(pv[18 + 3 * i + j], pv[27 + 3 * i + j]) for j in range(3)]
         for i in range(3)
     ]
     Le = [
-        [C(p(36 + 3 * i + j), p(45 + 3 * i + j)) for j in range(3)]
+        [C(pv[36 + 3 * i + j], pv[45 + 3 * i + j]) for j in range(3)]
         for i in range(3)
     ]
-    dm00, dm10, dm20 = p(54), p(55), p(56)
+    return U, Me, Le, pv[54], pv[55], pv[56]
 
+
+def _flat12(v):
+    """Two propagated state columns (nested [a][i] of C) -> flat 12-tuple
+    (12 real registers instead of the full 3x3 matrix's 18; the tau row of
+    the probability matrix is reconstructed outside from double
+    stochasticity)."""
+    return tuple(v[a][i].re for a in range(2) for i in range(3)) + tuple(
+        v[a][i].im for a in range(2) for i in range(3)
+    )
+
+
+def _unflat12(t):
+    return [
+        [C(t[3 * a + i], t[6 + 3 * a + i]) for i in range(3)]
+        for a in range(2)
+    ]
+
+
+def _econ(e):
+    """Energy-derived per-block constants (parameter-independent)."""
     dtype = e.dtype
-    one_over_two_e = 0.5 / e
-    two_e = 2.0 * e
-    phase_s = -(1.0 / e) * HBAR_C_FACTOR  # * baseline, applied per layer
-    tiny = jnp.asarray(1e-30, dtype=dtype)
+    return dict(
+        one_over_two_e=0.5 / e,
+        two_e=2.0 * e,
+        phase_s=-(1.0 / e) * HBAR_C_FACTOR,  # * baseline, applied per layer
+        tiny=jnp.asarray(1e-30, dtype=dtype),
+        zeros=jnp.zeros_like(e),
+        ones=jnp.ones_like(e),
+    )
+
+
+def _vacuum_picks(pv, econ):
+    """Vacuum-matched ordering masks for the in-matter eigenvalues
+    (cf. kernels._dms_soa_scalars vacuum branch / numba_osc_kernels.py:688).
+    Layer-invariant, and NON-DIFFERENTIABLE by construction (argmin
+    selection) — computed from the primal parameters only."""
+    dm00, dm10, dm20 = pv[54], pv[55], pv[56]
+    one_over_two_e = econ["one_over_two_e"]
+    two_e = econ["two_e"]
+    tiny = econ["tiny"]
     third = 1.0 / 3.0
-    ang = 2.0 / 3.0 * jnp.pi
-
-    zeros = jnp.zeros_like(e)
-    ones = jnp.ones_like(e)
-
-    # ---- layer-invariant: vacuum eigenvalues + vacuum-matched ordering ----
-    # (cf. kernels._dms_soa_scalars vacuum branch / numba_osc_kernels.py:688)
     scale_v = jnp.maximum(
         jnp.maximum(jnp.abs(dm10), jnp.abs(dm20)) * one_over_two_e, tiny
     )
@@ -204,203 +222,296 @@ def _chain_block_math(p, nl, e, dens_get, dist_get):
         d1 = jnp.abs(target - m_v[1])
         d2 = jnp.abs(target - m_v[2])
         picks.append((d1 < d0, d2 < jnp.minimum(d0, d1)))
+    return picks
 
-    # carry: the two propagated initial-state columns (nu_e, nu_mu in the
-    # mass basis) — 12 real registers instead of the full 3x3 matrix's 18;
-    # the tau row of the probability matrix is reconstructed outside from
-    # double stochasticity (|U|^2 of a unitary has unit column sums)
-    def flat(v):
-        return tuple(v[a][i].re for a in range(2) for i in range(3)) + tuple(
-            v[a][i].im for a in range(2) for i in range(3)
-        )
 
-    def unflat(t):
-        return [
-            [C(t[3 * a + i], t[6 + 3 * a + i]) for i in range(3)]
+def _init_carry(pv, econ):
+    """Initial states: |nu_a> rotated to the mass basis, i.e. column a of
+    U^dagger: v_a[i] = conj(U[a][i])."""
+    U = _unpack_params(pv)[0]
+    ones = econ["ones"]
+    return _flat12(
+        [
+            [C(U[a][i].re * ones, -U[a][i].im * ones) for i in range(3)]
             for a in range(2)
         ]
+    )
 
-    def body(layer, carry):
-        V = unflat(carry)
-        rho = dens_get(layer)
-        dx = dist_get(layer)
-        a = (0.5 * TWO_SQRT2_GF) * rho
 
-        # mass-basis Hamiltonian, Hermitian triangle:
-        # H = diag(0, dm21, dm31)/2E + a*M_eff + L_eff
-        def offd(i, j):
-            return C(
-                Me[i][j].re * a + Le[i][j].re, Me[i][j].im * a + Le[i][j].im
-            )
+def _layer_step(carry, pv, rho, dx, econ, picks):
+    """One layer transition applied to the flat 12-tuple state carry, as a
+    pure function of (carry, packed parameter scalars) — so the tangent
+    kernels can differentiate it per layer (jax.jvp over the whole chain,
+    or jax.linearize per layer for the shared-primal multi-tangent path).
+    `rho`/`dx` are the layer's (BLOCK_ROWS, LANES) geometry slabs (zero
+    tangent), `econ` the energy constants, `picks` the vacuum-matched
+    ordering masks (non-differentiable)."""
+    _, Me, Le, dm00, dm10, dm20 = _unpack_params(pv)
+    one_over_two_e = econ["one_over_two_e"]
+    two_e = econ["two_e"]
+    phase_s = econ["phase_s"]
+    tiny = econ["tiny"]
+    zeros = econ["zeros"]
+    third = 1.0 / 3.0
 
-        h01, h02, h12 = offd(0, 1), offd(0, 2), offd(1, 2)
-        h00 = Me[0][0].re * a + Le[0][0].re
-        h11 = Me[1][1].re * a + Le[1][1].re + dm10 * one_over_two_e
-        h22 = Me[2][2].re * a + Le[2][2].re + dm20 * one_over_two_e
+    V = _unflat12(carry)
+    a = (0.5 * TWO_SQRT2_GF) * rho
 
-        # ---- eigenvalues: char-poly coefficients (basis-invariant),
-        # scale-normalized on the coefficients (homogeneity) rather than on
-        # the matrix entries (cf. numba_osc_kernels.py:688) ----
-        n01, n02, n12 = h01.abs2(), h02.abs2(), h12.abs2()
-        scale2 = jnp.maximum(
-            jnp.maximum(jnp.maximum(h00 * h00, h11 * h11), h22 * h22),
-            jnp.maximum(jnp.maximum(n01, n02), n12),
+    # mass-basis Hamiltonian, Hermitian triangle:
+    # H = diag(0, dm21, dm31)/2E + a*M_eff + L_eff
+    def offd(i, j):
+        return C(
+            Me[i][j].re * a + Le[i][j].re, Me[i][j].im * a + Le[i][j].im
         )
-        scale = jnp.maximum(jnp.sqrt(scale2), tiny)
-        inv_s = 1.0 / scale
-        inv_s2 = inv_s * inv_s
 
-        real_product_a = (
-            h01.re * (h12.re * h02.re + h12.im * h02.im)
-            - h01.im * (h12.im * h02.re - h12.re * h02.im)
-        )  # Re(H01 H12 conj(H02)) = Re(H01 H12 H20)
-        c2 = -(h00 + h11 + h22) * inv_s
-        c1 = (
-            h00 * (h11 + h22) + h11 * h22 - n01 - n02 - n12
-        ) * inv_s2
-        c0 = (
-            (h00 * n12 + h11 * n02 + h22 * n01)
-            - 2.0 * real_product_a
-            - h00 * h11 * h22
-        ) * (inv_s2 * inv_s)
+    h01, h02, h12 = offd(0, 1), offd(0, 2), offd(1, 2)
+    h00 = Me[0][0].re * a + Le[0][0].re
+    h11 = Me[1][1].re * a + Le[1][1].re + dm10 * one_over_two_e
+    h22 = Me[2][2].re * a + Le[2][2].re + dm20 * one_over_two_e
 
-        pp = jnp.maximum(c2 * c2 - 3.0 * c1, 0.0)
-        qq = -13.5 * c0 - c2 * c2 * c2 + 4.5 * c1 * c2
-        tmp = jnp.maximum(
-            27.0 * (0.25 * c1 * c1 * (pp - c1) + c0 * (qq + 6.75 * c0)), 0.0
-        )
-        res = _atan2_pos(jnp.sqrt(tmp), qq) * third
-        b = (2.0 * third) * jnp.sqrt(pp)
-        cr, sr = jnp.cos(res), jnp.sin(res)
-        half_sqrt3 = 0.8660254037844386
-        m_u = [
-            two_e * (scale * (b * (-0.5 * cr - half_sqrt3 * sr)
-                              - c2 * third) + dm00),
-            two_e * (scale * (b * (-0.5 * cr + half_sqrt3 * sr)
-                              - c2 * third) + dm00),
-            two_e * (scale * (b * cr - c2 * third) + dm00),
-        ]
-        m = []
-        for pick1, pick2 in picks:
-            best01 = jnp.where(pick1, m_u[1], m_u[0])
-            m.append(jnp.where(pick2, m_u[2], best01))
+    # ---- eigenvalues: char-poly coefficients (basis-invariant),
+    # scale-normalized on the coefficients (homogeneity) rather than on
+    # the matrix entries (cf. numba_osc_kernels.py:688) ----
+    n01, n02, n12 = h01.abs2(), h02.abs2(), h12.abs2()
+    scale2 = jnp.maximum(
+        jnp.maximum(jnp.maximum(h00 * h00, h11 * h11), h22 * h22),
+        jnp.maximum(jnp.maximum(n01, n02), n12),
+    )
+    scale = jnp.maximum(jnp.sqrt(scale2), tiny)
+    inv_s = 1.0 / scale
+    inv_s2 = inv_s * inv_s
 
-        # ---- Barger eq. 10 via spectral projectors over the 2E-scaled
-        # Hamiltonian G: T = sum_k phase_k * (G - m_a)(G - m_b)/denoms.
-        # The two factors commute (polynomials of the same G), so each
-        # product is exactly Hermitian, and the eigenvalue differences are
-        # subtracted BEFORE any multiplication -- unlike the equivalent
-        # alpha0 I + alpha1 G + alpha2 G^2 expansion, which loses ~1e-4 of
-        # precision to G^2 cancellation at near-degenerate eigenvalues ----
-        g00, g11, g22 = h00 * two_e, h11 * two_e, h22 * two_e
-        g01 = C(h01.re * two_e, h01.im * two_e)
-        g02 = C(h02.re * two_e, h02.im * two_e)
-        g12 = C(h12.re * two_e, h12.im * two_e)
+    real_product_a = (
+        h01.re * (h12.re * h02.re + h12.im * h02.im)
+        - h01.im * (h12.im * h02.re - h12.re * h02.im)
+    )  # Re(H01 H12 conj(H02)) = Re(H01 H12 H20)
+    c2 = -(h00 + h11 + h22) * inv_s
+    c1 = (
+        h00 * (h11 + h22) + h11 * h22 - n01 - n02 - n12
+    ) * inv_s2
+    c0 = (
+        (h00 * n12 + h11 * n02 + h22 * n01)
+        - 2.0 * real_product_a
+        - h00 * h11 * h22
+    ) * (inv_s2 * inv_s)
 
-        # cross terms and norms shared by all three projector products
-        n01g, n02g, n12g = g01.abs2(), g02.abs2(), g12.abs2()
-        x01 = g02 * g12.conj()
-        x02 = g01 * g12
-        x12 = g01.conj() * g02
-
-        def projector(ma, mb):
-            """(G - ma)(G - mb), Hermitian triangle (d0,d1,d2,o01,o02,o12)."""
-            a00, a11, a22 = g00 - ma, g11 - ma, g22 - ma
-            b00, b11, b22 = g00 - mb, g11 - mb, g22 - mb
-            return (
-                a00 * b00 + n01g + n02g,
-                a11 * b11 + n01g + n12g,
-                a22 * b22 + n02g + n12g,
-                C(g01.re * (a00 + b11), g01.im * (a00 + b11)) + x01,
-                C(g02.re * (a00 + b22), g02.im * (a00 + b22)) + x02,
-                C(g12.re * (a11 + b22), g12.im * (a11 + b22)) + x12,
-            )
-
-        Pr0 = projector(m[1], m[2])
-        Pr1 = projector(m[0], m[2])
-        Pr2 = projector(m[0], m[1])
-
-        d01 = m[0] - m[1]
-        d02 = m[0] - m[2]
-        d12 = m[1] - m[2]
-        inv0 = 1.0 / (d01 * d02)
-        inv1 = 1.0 / (d12 * (-d01))
-        inv2 = 1.0 / ((-d02) * (-d12))
-
-        s = phase_s * dx
-
-        # only phase DIFFERENCES survive |.|^2 of the chain product (the
-        # per-layer global phase e^{i m0 s} factors out of T and the total
-        # product), so T is computed up to e^{i m0 s}: cp0 becomes REAL and
-        # only two complex phases (4 transcendentals, not 6) are needed.
-        ar1 = -d01 * s  # (m1 - m0) s
-        ar2 = -d02 * s  # (m2 - m0) s
-        cp1 = C(jnp.cos(ar1) * inv1, jnp.sin(ar1) * inv1)
-        cp2 = C(jnp.cos(ar2) * inv2, jnp.sin(ar2) * inv2)
-
-        def tsum(idx, conjugate=False):
-            a, b, c = Pr0[idx], Pr1[idx], Pr2[idx]
-            if conjugate:
-                a, b, c = (
-                    a.conj() if isinstance(a, C) else a,
-                    b.conj() if isinstance(b, C) else b,
-                    c.conj() if isinstance(c, C) else c,
-                )
-            first = a * inv0 if isinstance(a, C) else C(
-                a * inv0, zeros
-            )
-            return first + cp1 * b + cp2 * c
-
-        T = [
-            [tsum(0), tsum(3), tsum(4)],
-            [tsum(3, True), tsum(1), tsum(5)],
-            [tsum(4, True), tsum(5, True), tsum(2)],
-        ]
-
-        # chain product on the two state columns: v <- T @ v;
-        # zero-length layers act as identity
-        keep = dx > 0.0
-        newV = []
-        for a in range(2):
-            col = []
-            for i in range(3):
-                acc = (
-                    T[i][0] * V[a][0]
-                    + T[i][1] * V[a][1]
-                    + T[i][2] * V[a][2]
-                )
-                col.append(
-                    C(
-                        jnp.where(keep, acc.re, V[a][i].re),
-                        jnp.where(keep, acc.im, V[a][i].im),
-                    )
-                )
-            newV.append(col)
-        return flat(newV)
-
-    # initial states: |nu_a> rotated to the mass basis, i.e. column a of
-    # U^dagger: v_a[i] = conj(U[a][i])
-    init = [
-        [C(U[a][i].re * ones, -U[a][i].im * ones) for i in range(3)]
-        for a in range(2)
+    pp = jnp.maximum(c2 * c2 - 3.0 * c1, 0.0)
+    qq = -13.5 * c0 - c2 * c2 * c2 + 4.5 * c1 * c2
+    tmp = jnp.maximum(
+        27.0 * (0.25 * c1 * c1 * (pp - c1) + c0 * (qq + 6.75 * c0)), 0.0
+    )
+    res = _atan2_pos(jnp.sqrt(tmp), qq) * third
+    b = (2.0 * third) * jnp.sqrt(pp)
+    cr, sr = jnp.cos(res), jnp.sin(res)
+    half_sqrt3 = 0.8660254037844386
+    m_u = [
+        two_e * (scale * (b * (-0.5 * cr - half_sqrt3 * sr)
+                          - c2 * third) + dm00),
+        two_e * (scale * (b * (-0.5 * cr + half_sqrt3 * sr)
+                          - c2 * third) + dm00),
+        two_e * (scale * (b * cr - c2 * third) + dm00),
     ]
-    carry = jax.lax.fori_loop(0, nl, body, flat(init))
-    V = unflat(carry)
+    m = []
+    for pick1, pick2 in picks:
+        best01 = jnp.where(pick1, m_u[1], m_u[0])
+        m.append(jnp.where(pick2, m_u[2], best01))
 
-    # back to the flavor basis: F[b][a] = (U v_a)[b];
-    # probs[n, a, b] = |F[b][a]|^2
-    vals = []
+    # ---- Barger eq. 10 via spectral projectors over the 2E-scaled
+    # Hamiltonian G: T = sum_k phase_k * (G - m_a)(G - m_b)/denoms.
+    # The two factors commute (polynomials of the same G), so each
+    # product is exactly Hermitian, and the eigenvalue differences are
+    # subtracted BEFORE any multiplication -- unlike the equivalent
+    # alpha0 I + alpha1 G + alpha2 G^2 expansion, which loses ~1e-4 of
+    # precision to G^2 cancellation at near-degenerate eigenvalues ----
+    g00, g11, g22 = h00 * two_e, h11 * two_e, h22 * two_e
+    g01 = C(h01.re * two_e, h01.im * two_e)
+    g02 = C(h02.re * two_e, h02.im * two_e)
+    g12 = C(h12.re * two_e, h12.im * two_e)
+
+    # cross terms and norms shared by all three projector products
+    n01g, n02g, n12g = g01.abs2(), g02.abs2(), g12.abs2()
+    x01 = g02 * g12.conj()
+    x02 = g01 * g12
+    x12 = g01.conj() * g02
+
+    def projector(ma, mb):
+        """(G - ma)(G - mb), Hermitian triangle (d0,d1,d2,o01,o02,o12)."""
+        a00, a11, a22 = g00 - ma, g11 - ma, g22 - ma
+        b00, b11, b22 = g00 - mb, g11 - mb, g22 - mb
+        return (
+            a00 * b00 + n01g + n02g,
+            a11 * b11 + n01g + n12g,
+            a22 * b22 + n02g + n12g,
+            C(g01.re * (a00 + b11), g01.im * (a00 + b11)) + x01,
+            C(g02.re * (a00 + b22), g02.im * (a00 + b22)) + x02,
+            C(g12.re * (a11 + b22), g12.im * (a11 + b22)) + x12,
+        )
+
+    Pr0 = projector(m[1], m[2])
+    Pr1 = projector(m[0], m[2])
+    Pr2 = projector(m[0], m[1])
+
+    d01 = m[0] - m[1]
+    d02 = m[0] - m[2]
+    d12 = m[1] - m[2]
+    inv0 = 1.0 / (d01 * d02)
+    inv1 = 1.0 / (d12 * (-d01))
+    inv2 = 1.0 / ((-d02) * (-d12))
+
+    s = phase_s * dx
+
+    # only phase DIFFERENCES survive |.|^2 of the chain product (the
+    # per-layer global phase e^{i m0 s} factors out of T and the total
+    # product), so T is computed up to e^{i m0 s}: cp0 becomes REAL and
+    # only two complex phases (4 transcendentals, not 6) are needed.
+    ar1 = -d01 * s  # (m1 - m0) s
+    ar2 = -d02 * s  # (m2 - m0) s
+    cp1 = C(jnp.cos(ar1) * inv1, jnp.sin(ar1) * inv1)
+    cp2 = C(jnp.cos(ar2) * inv2, jnp.sin(ar2) * inv2)
+
+    def tsum(idx, conjugate=False):
+        a_, b_, c_ = Pr0[idx], Pr1[idx], Pr2[idx]
+        if conjugate:
+            a_, b_, c_ = (
+                a_.conj() if isinstance(a_, C) else a_,
+                b_.conj() if isinstance(b_, C) else b_,
+                c_.conj() if isinstance(c_, C) else c_,
+            )
+        first = a_ * inv0 if isinstance(a_, C) else C(
+            a_ * inv0, zeros
+        )
+        return first + cp1 * b_ + cp2 * c_
+
+    T = [
+        [tsum(0), tsum(3), tsum(4)],
+        [tsum(3, True), tsum(1), tsum(5)],
+        [tsum(4, True), tsum(5, True), tsum(2)],
+    ]
+
+    # chain product on the two state columns: v <- T @ v;
+    # zero-length layers act as identity
+    keep = dx > 0.0
+    newV = []
+    for a_idx in range(2):
+        col = []
+        for i in range(3):
+            acc = (
+                T[i][0] * V[a_idx][0]
+                + T[i][1] * V[a_idx][1]
+                + T[i][2] * V[a_idx][2]
+            )
+            col.append(
+                C(
+                    jnp.where(keep, acc.re, V[a_idx][i].re),
+                    jnp.where(keep, acc.im, V[a_idx][i].im),
+                )
+            )
+        newV.append(col)
+    return _flat12(newV)
+
+
+def _final_probs_flat(carry, pv):
+    """Back to the flavor basis and squared magnitudes, flattened:
+    F[b][a] = (U v_a)[b]; returns the 6-tuple |F|^2 blocks in (a, b)
+    row-major order."""
+    U = _unpack_params(pv)[0]
+    V = _unflat12(carry)
+    out = []
     for a in range(2):
-        row = []
         for b in range(3):
             f = (
                 U[b][0] * V[a][0]
                 + U[b][1] * V[a][1]
                 + U[b][2] * V[a][2]
             )
-            row.append(f.abs2())
-        vals.append(row)
-    return vals
+            out.append(f.abs2())
+    return tuple(out)
+
+
+def _chain_block_math(p, nl, e, dens_get, dist_get):
+    """Full layer-chain propagation for one block of points, as a pure
+    function of the packed parameter SCALARS — so the tangent kernel can
+    differentiate it with an in-body ``jax.jvp``.
+
+    Parameters: ``p(k)`` returns packed scalar k (see
+    :func:`_unpack_params` for the layout); ``nl`` is the block's
+    layer-loop bound; ``e`` the (BLOCK_ROWS, LANES) energies;
+    ``dens_get(l)``/``dist_get(l)`` return layer l's (BLOCK_ROWS, LANES)
+    slab (a ref load in both the primal and the tangent kernel —
+    zero-tangent ref loads pass through jax.jvp). Returns the nested
+    ``[a][b]`` list of |amplitude|^2 blocks (a = initial nu_e/nu_mu
+    state, b = final flavor)."""
+    pv = tuple(p(k) for k in range(57))
+    econ = _econ(e)
+    picks = _vacuum_picks(pv, econ)
+
+    def body(layer, carry):
+        return _layer_step(
+            carry, pv, dens_get(layer), dist_get(layer), econ, picks
+        )
+
+    carry = jax.lax.fori_loop(0, nl, body, _init_carry(pv, econ))
+    flat = _final_probs_flat(carry, pv)
+    return [[flat[3 * a + b] for b in range(3)] for a in range(2)]
+
+
+def _chain_block_math_multitangent(pv, dpvs, nl, e, dens_get, dist_get):
+    """Primal + K simultaneous parameter tangents with a SHARED primal:
+    each layer step is linearized ONCE around the primal carry
+    (``jax.linearize``) and the resulting linear map is applied to all K
+    tangent carries — the primal eigensolve/projector work (the expensive,
+    transcendental-heavy part) is paid once instead of once per tangent
+    direction, and each tangent application is linear arithmetic only.
+
+    ``pv``: 57-tuple of packed parameter scalars; ``dpvs``: list of K
+    57-tuples of tangent scalars. Returns (vals, dvals_list) in the same
+    nested [a][b] layout as :func:`_chain_block_math`."""
+    econ = _econ(e)
+    picks = _vacuum_picks(pv, econ)
+
+    def init_fn(pvt):
+        return _init_carry(pvt, econ)
+
+    carry_p, init_lin = jax.linearize(init_fn, pv)
+    carry_ts = [init_lin(dpv) for dpv in dpvs]
+    k_tangents = len(dpvs)
+
+    def body(layer, flat_all):
+        p_c = flat_all[:12]
+        t_cs = [
+            flat_all[12 * (k + 1):12 * (k + 2)] for k in range(k_tangents)
+        ]
+        rho = dens_get(layer)
+        dx = dist_get(layer)
+
+        def step(c, pvt):
+            return _layer_step(c, pvt, rho, dx, econ, picks)
+
+        p_new, lin = jax.linearize(step, tuple(p_c), pv)
+        t_new = [lin(tuple(t_c), dpv) for t_c, dpv in zip(t_cs, dpvs)]
+        return tuple(p_new) + tuple(x for t in t_new for x in t)
+
+    flat_all = jax.lax.fori_loop(
+        0, nl, body, tuple(carry_p) + tuple(x for t in carry_ts for x in t)
+    )
+    p_final = flat_all[:12]
+    t_finals = [
+        flat_all[12 * (k + 1):12 * (k + 2)] for k in range(k_tangents)
+    ]
+
+    def post(c, pvt):
+        return _final_probs_flat(c, pvt)
+
+    out_p, post_lin = jax.linearize(post, tuple(p_final), pv)
+    out_ts = [
+        post_lin(tuple(t_c), dpv) for t_c, dpv in zip(t_finals, dpvs)
+    ]
+    vals = [[out_p[3 * a + b] for b in range(3)] for a in range(2)]
+    dvals = [
+        [[t[3 * a + b] for b in range(3)] for a in range(2)]
+        for t in out_ts
+    ]
+    return vals, dvals
 
 
 def _chain_kernel(pp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, *,
@@ -704,6 +815,97 @@ def _launch_tangent(pvec, dpvec, e2, dens, dist, nl_blocks, n, *,
     return dout.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
 
 
+def _chain_multitangent_kernel(
+    pp_ref, dpp_ref, nl_ref, e_ref, dens_ref, dist_ref, out_ref, dout_ref,
+    *, n_layers, k_tangents,
+):
+    """Primal + K tangents in ONE launch with a SHARED primal
+    (:func:`_chain_block_math_multitangent`): each layer step is
+    linearized once around the primal carry and the linear map applied to
+    all K tangent carries — vs K separate tangent launches each paying
+    the full dual-number recompute of the primal eigensolve."""
+    nl = nl_ref[pl.program_id(0), 0]
+    e = e_ref[:]
+    pv = tuple(pp_ref[0, k] for k in range(57))
+    dpvs = [
+        tuple(dpp_ref[kk, k] for k in range(57))
+        for kk in range(k_tangents)
+    ]
+    vals, dvals = _chain_block_math_multitangent(
+        pv, dpvs, nl, e,
+        lambda l: dens_ref[l],
+        lambda l: dist_ref[l],
+    )
+    for a in range(2):
+        for b in range(3):
+            out_ref[a, b] = vals[a][b]
+            for kk in range(k_tangents):
+                dout_ref[kk, a, b] = dvals[kk][a][b]
+
+
+def _launch_multitangent(pvec, dpvecs, e2, dens, dist, nl_blocks, n, *,
+                         interpret=False):
+    """pallas_call of the shared-primal multitangent kernel over
+    pre-blocked inputs. ``dpvecs``: (K, 57). Returns (p2, dp2) raw
+    (pre-tau-row) outputs of shapes (N, 2, 3) and (K, N, 2, 3)."""
+    dtype = e2.dtype
+    rows = e2.shape[0]
+    n_layers = dens.shape[0]
+    grid = rows // BLOCK_ROWS
+    n_pad = rows * LANES
+    k_tangents = int(dpvecs.shape[0])
+
+    out, dout = pl.pallas_call(
+        partial(
+            _chain_multitangent_kernel,
+            n_layers=n_layers,
+            k_tangents=k_tangents,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, 3, rows, LANES), dtype),
+            jax.ShapeDtypeStruct((k_tangents, 2, 3, rows, LANES), dtype),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 57), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (k_tangents, 57), lambda i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (grid, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_ROWS, LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_layers, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (2, 3, BLOCK_ROWS, LANES), lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_tangents, 2, 3, BLOCK_ROWS, LANES),
+                lambda i: (0, 0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(pvec, dpvecs, nl_blocks, e2, dens, dist)
+    p2 = out.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
+    dp2 = dout.reshape(k_tangents, 2, 3, n_pad).transpose(0, 3, 1, 2)[:, :n]
+    return p2, dp2
+
+
 def _probs_pallas_impl(
     dm_vac, U, mat_pot, lri_pot, energy, densities, distances, order=None,
     *, nubar, interpret=False,
@@ -994,17 +1196,50 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
     # dm31) are fixed, and a fixed component's cotangent is discarded by
     # the upstream stack() vjp anyway. The flagship fit frees 3 of 6,
     # halving the gradient's kernel work.
-    ks = range(k_dim) if active is None else active
+    ks = list(range(k_dim)) if active is None else list(active)
     grads = {}
-    for k in ks:
-        e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
-        _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
-        dp2 = _launch_tangent(
-            pvec, dpvec, geom["e2"], geom["dens"], geom["dist"],
+    # Shared-primal multitangent kernel: one launch linearizes each layer
+    # step once and applies the linear map to all K tangents. Measured on
+    # v5e at flagship shapes (2026-08-19) it is NEUTRAL vs K separate
+    # dual-number launches (flagship value_and_grad 44.2 vs 42.4 ms; the
+    # shared-primal savings are offset by the larger live set spilling
+    # VMEM), so the default stays the separate launches; flip on with
+    # PISA_TPU_OSC_MULTITANGENT=1 to re-evaluate on other hardware/K.
+    if ks and _os.environ.get("PISA_TPU_OSC_MULTITANGENT", "0") in (
+        "1", "on", "true", "yes"
+    ):
+        # ONE shared-primal launch for all K tangent directions: the
+        # per-layer eigensolve is linearized once and the linear map
+        # applied to every tangent, instead of K dual-number launches
+        # each recomputing the primal.
+        dpvecs = jnp.concatenate(
+            [
+                jax.jvp(
+                    theta_to_pvec,
+                    (theta,),
+                    (jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0),),
+                )[1]
+                for k in ks
+            ],
+            axis=0,
+        )  # (K, 57)
+        _, dp2s = _launch_multitangent(
+            pvec, dpvecs, geom["e2"], geom["dens"], geom["dist"],
             geom["nl"], n, interpret=interpret,
         )
-        _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
-        grads[k] = jnp.sum(g_s * dprobs_s)
+        for i, k in enumerate(ks):
+            _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2s[i],))
+            grads[k] = jnp.sum(g_s * dprobs_s)
+    else:
+        for k in ks:
+            e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
+            _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
+            dp2 = _launch_tangent(
+                pvec, dpvec, geom["e2"], geom["dens"], geom["dist"],
+                geom["nl"], n, interpret=interpret,
+            )
+            _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
+            grads[k] = jnp.sum(g_s * dprobs_s)
     zero = jnp.zeros((), theta.dtype)
     dtheta = jnp.stack(
         [grads.get(k, zero) for k in range(k_dim)]

@@ -105,6 +105,13 @@ def adaptive_gaussian_kde(
         z2 = jnp.sum(diff**2, axis=0) / lam[:, None] ** 2  # (N, M)
         kern = jnp.exp(-0.5 * z2)
         norm = (2.0 * jnp.pi) ** (d / 2.0) * jnp.prod(h) * lam**d
+        # fp32 underflow guard: a zero-weight channel clamps every h to
+        # the 1e-30 floor, so prod(h) (1e-60 for d=2) underflows to 0 in
+        # float32 and w/norm becomes 0/0 = NaN, which poisons the whole
+        # channel even though every weight is zero. The kernel terms are
+        # 0 in that regime, so replacing the underflowed norm keeps the
+        # density exactly zero (fp64 is unaffected: 1e-60 is normal).
+        norm = jnp.where(norm > 0, norm, 1.0)
         return jnp.sum((w / norm)[:, None] * kern, axis=0)
 
     ones = jnp.ones(n, dtype=x.dtype)

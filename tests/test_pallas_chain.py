@@ -434,3 +434,40 @@ def test_fwdgrad_prepared_active_subset():
                                rtol=1e-6)
     assert np.all(g_act[[0, 3, 4]] == 0.0)
     assert np.abs(g_full[[0, 3, 4]]).max() > 0  # full path really differs
+
+
+def test_fwdgrad_multitangent_matches_separate(monkeypatch):
+    """The shared-primal multitangent backward (one launch, per-layer
+    linearize) must reproduce the separate-launch tangent gradients
+    exactly. Off by default (measured neutral on v5e); exercised here
+    explicitly."""
+    from pisa_tpu.ops.osc.pallas_chain import (
+        osc_probs_layers_pallas_fwdgrad_prepared,
+        prepare_chain_geometry,
+    )
+
+    rng = np.random.RandomState(21)
+    n, n_layers = 64, 5
+    e = 10 ** rng.uniform(0, 2, n)
+    dens = rng.uniform(1, 10, (n, n_layers))
+    dist = rng.uniform(50, 1000, (n, n_layers))
+    dist[:, -1] = 0.0
+    order = np.argsort(np.count_nonzero(dist > 0, axis=1)).astype(np.int32)
+    geom = prepare_chain_geometry(
+        jnp.asarray(e), jnp.asarray(dens), jnp.asarray(dist), order=order
+    )
+    theta = jnp.asarray([0.58, 0.15, 0.78, 1.2, 7.4e-5, 2.5e-3])
+    w = jnp.asarray(rng.uniform(-1, 1, (n, 3, 3)))
+
+    def loss(th):
+        return jnp.sum(
+            w * osc_probs_layers_pallas_fwdgrad_prepared(
+                th, -1, geom, n=n, interpret=True, active=(1, 2, 5)
+            )
+        )
+
+    monkeypatch.setenv("PISA_TPU_OSC_MULTITANGENT", "0")
+    g_sep = np.asarray(jax.grad(loss)(theta))
+    monkeypatch.setenv("PISA_TPU_OSC_MULTITANGENT", "1")
+    g_multi = np.asarray(jax.grad(loss)(theta))
+    np.testing.assert_allclose(g_multi, g_sep, rtol=5e-6, atol=0)
