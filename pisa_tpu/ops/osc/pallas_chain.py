@@ -1118,12 +1118,13 @@ def _fwdgrad_bwd(nubar, reparam, nlo_factor, interpret, res, g):
 
     pvec = theta_to_pvec(theta)
     k_dim = theta.shape[0]
+    # one vectorized Jacobian of the scalar pack, not k_dim scalar jvps
+    # (see _fwdgrad_prep_bwd)
+    jac = jax.jacfwd(theta_to_pvec)(theta)  # (1, 57, k_dim)
     grads = []
     for k in range(k_dim):
-        e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
-        _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
         dp2 = chain_tangent_pallas(
-            pvec, dpvec, e_s, dn_s, dx_s, interpret=interpret
+            pvec, jac[..., k], e_s, dn_s, dx_s, interpret=interpret
         )
         _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
         grads.append(jnp.sum(g_s * dprobs_s))
@@ -1205,6 +1206,14 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
     # shared-primal savings are offset by the larger live set spilling
     # VMEM), so the default stays the separate launches; flip on with
     # PISA_TPU_OSC_MULTITANGENT=1 to re-evaluate on other hardware/K.
+    # ONE vectorized Jacobian of the 57-scalar pack instead of a separate
+    # scalar jvp per direction: the pack is ~600 scalar HLO ops (PMNS +
+    # mass-basis rotations), and per-k jvps were spamming the backward
+    # program with thousands of microsecond-scale scalar ops (measured:
+    # the vg HLO entry held ~1.8k scalar multiplies from this loop alone).
+    if ks:
+        jac = jax.jacfwd(theta_to_pvec)(theta)  # (1, 57, k_dim)
+        dpvec_cols = {k: jac[..., k] for k in ks}
     if ks and _os.environ.get("PISA_TPU_OSC_MULTITANGENT", "0") in (
         "1", "on", "true", "yes"
     ):
@@ -1212,17 +1221,7 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
         # per-layer eigensolve is linearized once and the linear map
         # applied to every tangent, instead of K dual-number launches
         # each recomputing the primal.
-        dpvecs = jnp.concatenate(
-            [
-                jax.jvp(
-                    theta_to_pvec,
-                    (theta,),
-                    (jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0),),
-                )[1]
-                for k in ks
-            ],
-            axis=0,
-        )  # (K, 57)
+        dpvecs = jnp.concatenate([dpvec_cols[k] for k in ks], axis=0)
         _, dp2s = _launch_multitangent(
             pvec, dpvecs, geom["e2"], geom["dens"], geom["dist"],
             geom["nl"], n, interpret=interpret,
@@ -1232,11 +1231,9 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
             grads[k] = jnp.sum(g_s * dprobs_s)
     else:
         for k in ks:
-            e_k = jnp.zeros((k_dim,), theta.dtype).at[k].set(1.0)
-            _, dpvec = jax.jvp(theta_to_pvec, (theta,), (e_k,))
             dp2 = _launch_tangent(
-                pvec, dpvec, geom["e2"], geom["dens"], geom["dist"],
-                geom["nl"], n, interpret=interpret,
+                pvec, dpvec_cols[k], geom["e2"], geom["dens"],
+                geom["dist"], geom["nl"], n, interpret=interpret,
             )
             _, dprobs_s = jax.jvp(_tau_epilogue, (p2,), (dp2,))
             grads[k] = jnp.sum(g_s * dprobs_s)
