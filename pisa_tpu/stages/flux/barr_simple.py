@@ -17,6 +17,16 @@ from pisa_tpu.core.param import Param, ParamSet
 from pisa_tpu.core.stage import Stage
 from pisa_tpu.ops.flux import barr
 
+# standard flavor/interaction container vocabulary (same linking groups as
+# osc.prob3; kept local to avoid a flux -> osc module dependency)
+_NU_FLAVS = [
+    "nue_cc", "numu_cc", "nutau_cc", "nue_nc", "numu_nc", "nutau_nc",
+]
+_NUBAR_FLAVS = [
+    "nuebar_cc", "numubar_cc", "nutaubar_cc", "nuebar_nc", "numubar_nc",
+    "nutaubar_nc",
+]
+
 __all__ = ["barr_simple", "init_test"]
 
 _EGY_PIVOT = 24.0900951261  # GeV (cf. reference barr_simple.py)
@@ -68,6 +78,17 @@ class barr_simple(Stage):  # noqa: N801
         uphor = p.Barr_uphor_ratio.m_as("dimensionless")
         barr_nubar = p.Barr_nu_nubar_ratio.m_as("dimensionless")
 
+        # grid (map) mode: the modified flux depends only on the shared
+        # calc grid, the flavor-independent nominal flux pair and the
+        # nubar sign — link the flavor containers so the grid math runs
+        # twice (nu, nubar) instead of once per container (12x on the
+        # flagship; measured ~1 ms/template of grid flux math before
+        # linking, cf. benchmarks/attribution.py). Same pattern as
+        # osc.prob3's compute linking (reference prob3.py:398-422).
+        if self.is_map:
+            self.data.link_containers("nu", _NU_FLAVS)
+            self.data.link_containers("nubar", _NUBAR_FLAVS)
+
         for container in self.data:
             energy = jnp.asarray(container["true_energy"])
             coszen = jnp.asarray(container["true_coszen"])
@@ -114,6 +135,7 @@ class barr_simple(Stage):  # noqa: N801
 
             container["nu_flux"] = jnp.stack([out_e, out_mu], axis=1)
             container.mark_changed("nu_flux")
+        self.data.unlink_containers()
 
 
 def init_test(**param_kwargs):
