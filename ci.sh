@@ -61,12 +61,12 @@ done
 
 step "docs build"
 if python -c "import sphinx" 2>/dev/null; then
-    ( cd docs && sphinx-build -W -b html source "$ART/docs_html" )
+    ( cd docs && sphinx-build -W -b html source "$REPO/artifacts/docs_html" )
 else
     echo "sphinx not installed; stdlib HTML render + structural check"
     # renders guides + API reference (fails on broken automodule targets
     # or missing __all__ attributes — the docstring cross-ref check)
-    JAX_PLATFORMS=cpu python docs/render_docs.py "$ART/docs_html"
+    JAX_PLATFORMS=cpu python docs/render_docs.py "$REPO/artifacts/docs_html"
     python - <<'EOF'
 import pathlib, re, sys
 root = pathlib.Path("docs")
