@@ -87,6 +87,22 @@ class Stage:
         self.param_hash = None
         self._trace_mode = False  # disables the compute cache while tracing
 
+    #: class-level opt-in: the service's compute/apply functions handle a
+    #: StackedContainer (category-stacked arrays; see
+    #: :mod:`pisa_tpu.core.stacking`). CompiledTemplate stacks a pipeline's
+    #: containers only when every traced stage opts in.
+    supports_stacked = False
+
+    def stacked_ok(self):
+        """Whether THIS instance (with its configured modes) can run on a
+        stacked ContainerSet; override for mode-dependent support."""
+        return self.supports_stacked
+
+    def prepare_stacked(self, data):
+        """Hook: one-time concrete precomputation on the freshly stacked
+        ContainerSet (e.g. cached one-hot histogram matrices), called by
+        CompiledTemplate before tracing. Default: nothing."""
+
     # -- params ---------------------------------------------------------------
     @property
     def params(self) -> ParamSet:

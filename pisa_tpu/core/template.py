@@ -121,6 +121,15 @@ class CompiledTemplate:
         for stage in self._hoisted_stages:
             stage.run()
 
+        # Container stacking (see pisa_tpu/core/stacking.py): when every
+        # traced stage supports it, the per-category containers collapse
+        # into ONE container with a leading category axis, cutting the
+        # traced program's op count ~C-fold (the per-category op chains —
+        # and especially their reverse-mode gradients — were latency-bound
+        # small-fusion tails, not FLOPs). Disable with PISA_TPU_STACK=0.
+        self._trace_data = pipeline.data
+        self._build_stacked()
+
         self._place_container_data()
         self._populate_flatidx_caches()
         self._jitted = jax.jit(self._build_fn())
@@ -159,6 +168,48 @@ class CompiledTemplate:
                 break
             hoisted.append(stage)
         return hoisted, stages[len(hoisted):]
+
+    def _build_stacked(self):
+        """Try to stack the pipeline's containers for tracing; fall back
+        silently (self._trace_data stays pipeline.data) when ineligible."""
+        import os
+
+        from pisa_tpu.core import stacking
+
+        if os.environ.get("PISA_TPU_STACK", "1") in ("0", "off", "false"):
+            return
+        if len(self.pipeline.data.containers) < 2:
+            return
+        unsupported = [
+            str(s) for s in self._traced_stages if not s.stacked_ok()
+        ]
+        if unsupported:
+            logging.debug(
+                "stacking disabled: stages without stacked support: %s",
+                unsupported,
+            )
+            return
+        # coordinate keys (padded with NaN): any dimension name of any
+        # binning the template touches
+        coord_keys = set(self.output_binning.names)
+        for stage in self.pipeline.stages:
+            for mode in (stage.calc_mode, stage.apply_mode):
+                if hasattr(mode, "names"):
+                    coord_keys.update(mode.names)
+        try:
+            self._trace_data = stacking.build_stacked_set(
+                self.pipeline.data, coord_keys=coord_keys
+            )
+        except stacking.StackingError as exc:
+            logging.info("stacking disabled: %s", exc)
+            return
+        for stage in self._traced_stages:
+            stage.prepare_stacked(self._trace_data)
+        logging.debug(
+            "stacked %d containers (n_pad=%d) for template tracing",
+            len(self.pipeline.data.containers),
+            self._trace_data.containers[0].n_pad,
+        )
 
     def _populate_flatidx_caches(self):
         """Discovery pass: abstractly trace the template once, recording
@@ -212,7 +263,7 @@ class CompiledTemplate:
         here, and never cross the wire again."""
         self._data_slots = []
         self._data_vals = []
-        for container in self.pipeline.data.containers:
+        for container in self._trace_data.containers:
             for key, per_rep in container._data.items():
                 for h, arr in per_rep.items():
                     if isinstance(arr, jax.Array) or (
@@ -258,7 +309,7 @@ class CompiledTemplate:
 
     def _snapshot(self):
         state = []
-        for c in self.pipeline.data.containers:
+        for c in self._trace_data.containers:
             state.append(
                 (
                     c,
@@ -266,17 +317,20 @@ class CompiledTemplate:
                     {k: dict(v) for k, v in c.validity.items()},
                     c.representation,
                     dict(c._flatidx),
+                    dict(c.rows) if hasattr(c, "rows") else None,
                 )
             )
         return state
 
     @staticmethod
     def _restore(state):
-        for c, data, validity, rep, flatidx in state:
+        for c, data, validity, rep, flatidx, rows in state:
             c._data = data
             c.validity = validity
             c.representation = rep
             c._flatidx = flatidx
+            if rows is not None:
+                c.rows = rows
 
     def _build_fn(self):
         pipeline = self.pipeline
@@ -287,6 +341,10 @@ class CompiledTemplate:
             saved_values = [p._value for p in self._free_params]
             for stage in pipeline.stages:
                 stage._trace_mode = True
+            swapped_data = self._trace_data is not pipeline.data
+            if swapped_data:
+                for stage in self._traced_stages:
+                    stage.data = self._trace_data
             try:
                 if data is not None:
                     # container data arrives as traced arguments; install
@@ -303,11 +361,28 @@ class CompiledTemplate:
                     self, "_traced_stages", pipeline.stages
                 ):
                     stage.run()
-                pipeline.data.representation = self.output_binning
+                self._trace_data.representation = self.output_binning
                 hists = {}
                 errs = {}
                 extras = {}
-                for c in pipeline.data.containers:
+                for c in self._trace_data.containers:
+                    if getattr(c, "is_stacked", False):
+                        # unstack: one flat (size,) hist per category
+                        stacked = jnp.asarray(c.expanded(self.output_key))
+                        for i, nm in enumerate(c.cat_names):
+                            hists[nm] = stacked[i].ravel()
+                        if self.error_key is not None:
+                            errstk = jnp.asarray(c.expanded(self.error_key))
+                            for i, nm in enumerate(c.cat_names):
+                                errs[nm] = errstk[i].ravel()
+                        for key in ("llh_alphas", "llh_betas", "n_mc_events"):
+                            if key in c.keys:
+                                xs = jnp.asarray(c.expanded(key))
+                                for i, nm in enumerate(c.cat_names):
+                                    extras.setdefault(key, {})[nm] = xs[
+                                        i
+                                    ].ravel()
+                        continue
                     hists[c.name] = jnp.asarray(c[self.output_key]).ravel()
                     if self.error_key is not None:
                         errs[c.name] = jnp.asarray(c[self.error_key]).ravel()
@@ -327,6 +402,9 @@ class CompiledTemplate:
                     p._value = v
                 for stage in pipeline.stages:
                     stage._trace_mode = False
+                if swapped_data:
+                    for stage in self._traced_stages:
+                        stage.data = pipeline.data
                 self._restore(snapshot)
 
         return fn
@@ -343,10 +421,20 @@ class CompiledTemplate:
         """
         from pisa_tpu.parallel import shard_containers
 
+        if self._trace_data is not self.pipeline.data:
+            # event-axis sharding partitions the per-category containers;
+            # drop the stacked view (its event axis is axis 1 and its padded
+            # rows would shard unevenly) and trace per-container
+            logging.debug("shard(): disabling container stacking")
+            self._trace_data = self.pipeline.data
+
         shard_containers(self.pipeline.data, mesh, axis_name=axis_name)
         # refresh the data-argument slots with the sharded placements (jit
         # picks the partitioning up from the argument shardings)
         self._place_container_data()
+        # the per-container flat-index caches may be cold when init traced a
+        # stacked view; repopulate them for the per-container trace
+        self._populate_flatidx_caches()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}
         self._scan_totals_jit = None

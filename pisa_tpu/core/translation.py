@@ -37,6 +37,7 @@ __all__ = [
     "sanitized_flat_indices",
     "histogram",
     "histogram_matmul",
+    "histogram_matmul_stacked",
     "lookup",
     "resample",
     "binning_to_spec",
@@ -222,6 +223,25 @@ def histogram_matmul(weights, matrix):
     if w.ndim == 1:
         return jnp.matmul(w, matrix, precision=hi)
     return jnp.tensordot(w, matrix, axes=((0,), (0,)), precision=hi).T
+
+
+def histogram_matmul_stacked(weights, matrix):
+    """Per-category histogram as ONE batched one-hot matmul.
+
+    The stacked counterpart of :func:`histogram_matmul` (see
+    :mod:`pisa_tpu.core.stacking`): ``matrix`` is the ``(C, N, size)``
+    stacked one-hot membership matrix (zero rows mark padded / out-of-range
+    events), ``weights`` is ``(C, N)`` or ``(C, N, ch)``; the result matches
+    C calls of :func:`histogram_matmul` but costs a single batched matmul
+    (XLA tiles the batch onto the MXU) instead of C separate ops.
+
+    Returns ``(C, size)`` or ``(C, size, ch)``.
+    """
+    w = jnp.asarray(weights)
+    hi = jax.lax.Precision.HIGHEST
+    if w.ndim == 2:
+        return jnp.einsum("cn,cnb->cb", w, matrix, precision=hi)
+    return jnp.einsum("cnk,cnb->cbk", w, matrix, precision=hi)
 
 
 def lookup(sample, flat_hist, binning_or_spec, idx=None):

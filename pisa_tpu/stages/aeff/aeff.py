@@ -30,6 +30,8 @@ class aeff(Stage):  # noqa: N801
             **std_kwargs,
         )
 
+    supports_stacked = True
+
     def apply_function(self):
         aeff_scale = self.params.aeff_scale.m_as("dimensionless")
         livetime_s = self.params.livetime.m_as("sec")
@@ -38,6 +40,33 @@ class aeff(Stage):  # noqa: N801
         nu_nc_norm = self.params.nu_nc_norm.m_as("dimensionless")
 
         for container in self.data:
+            if getattr(container, "is_stacked", False):
+                # per-category scale vector: name-based masks are concrete,
+                # the norms stay traced (differentiable)
+                import numpy as np
+
+                import jax.numpy as jnp
+
+                names = container.cat_names
+                m_cc = np.asarray(
+                    [n in ("nutau_cc", "nutaubar_cc") for n in names]
+                )
+                m_tau = np.asarray(["nutau" in n for n in names])
+                m_nc = np.asarray(["nc" in n for n in names])
+                scale = (
+                    aeff_scale
+                    * livetime_s
+                    * jnp.where(m_cc, nutau_cc_norm, 1.0)
+                    * jnp.where(m_tau, nutau_norm, 1.0)
+                    * jnp.where(m_nc, nu_nc_norm, 1.0)
+                )
+                container["weights"] = (
+                    container["weights"]
+                    * container["weighted_aeff"]
+                    * scale[:, None]
+                )
+                container.mark_changed("weights")
+                continue
             scale = aeff_scale * livetime_s
             if container.name in ("nutau_cc", "nutaubar_cc"):
                 scale = scale * nutau_cc_norm

@@ -167,6 +167,9 @@ class csv_loader(Stage):  # noqa: N801
         if len(self.data.names) == 0:
             raise ValueError("no containers created during data loading")
 
+    # elementwise apply: works unchanged on category-stacked arrays
+    supports_stacked = True
+
     def apply_function(self):
         # reset weights before downstream stages multiply them
         for container in self.data:

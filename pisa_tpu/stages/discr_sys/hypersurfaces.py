@@ -102,6 +102,56 @@ class hypersurfaces(Stage):  # noqa: N801
                 )
         self.data.unlink_containers()
 
+    supports_stacked = True
+
+    def _group_rows(self, cat_names):
+        """(group names, rows) for a stacked container: linked groups share
+        one hypersurface evaluation (the stacked analog of link_containers);
+        unlinked categories get their own by name."""
+        group_of = {}
+        group_names = []
+        for gname, members in self.links.items():
+            group_of.update(
+                {m: len(group_names) for m in members if m in cat_names}
+            )
+            group_names.append(gname)
+        rows = []
+        for name in cat_names:
+            if name not in group_of:
+                group_of[name] = len(group_names)
+                group_names.append(name)
+            rows.append(group_of[name])
+        return group_names, np.asarray(rows, dtype=np.int32)
+
+    def _compute_stacked(self, container, param_values, osc_params):
+        group_names, rows = self._group_rows(container.cat_names)
+        scale_rows, unc_rows = [], []
+        for gname in group_names:
+            if gname not in self.hypersurfaces:
+                raise ValueError(f"no hypersurface for map {gname!r}")
+            surface = self.hypersurfaces[gname]
+            if self.interpolated:
+                surface = surface.get_hypersurface(**osc_params)
+            if self.propagate_uncertainty:
+                scales, unc = surface.evaluate(
+                    param_values, return_uncertainty=True
+                )
+                unc_rows.append(
+                    jnp.where(jnp.isfinite(scales), unc, 0.0).ravel()
+                )
+            else:
+                scales = surface.evaluate(param_values)
+            scale_rows.append(
+                jnp.where(jnp.isfinite(scales), scales, 1.0).ravel()
+            )
+        container.set_stacked(
+            "hs_scales", jnp.stack(scale_rows), rows=rows
+        )
+        if self.propagate_uncertainty:
+            container.set_stacked(
+                "hs_scales_uncertainty", jnp.stack(unc_rows), rows=rows
+            )
+
     def compute_function(self):
         for key, val in self.links.items():
             self.data.link_containers(key, val)
@@ -119,6 +169,13 @@ class hypersurfaces(Stage):  # noqa: N801
             }
 
         for container in self.data:
+            if getattr(container, "is_stacked", False):
+                self._compute_stacked(
+                    container,
+                    param_values,
+                    osc_params if self.interpolated else None,
+                )
+                continue
             surface = self.hypersurfaces[container.name]
             if self.interpolated:
                 surface = surface.get_hypersurface(**osc_params)
@@ -140,6 +197,22 @@ class hypersurfaces(Stage):  # noqa: N801
 
     def apply_function(self):
         for container in self.data:
+            # stacked containers: materialize the per-category view of the
+            # (G, nbins) group-evaluated scales (one gather)
+            if getattr(container, "is_stacked", False):
+                scales = container.expanded("hs_scales")
+                unc = (
+                    container.expanded("hs_scales_uncertainty")
+                    if self.propagate_uncertainty
+                    else None
+                )
+            else:
+                scales = container["hs_scales"]
+                unc = (
+                    container["hs_scales_uncertainty"]
+                    if self.propagate_uncertainty
+                    else None
+                )
             # update uncertainty first, before weights change
             if self.error_method == "sumw2":
                 if self.data.representation == "events":
@@ -147,24 +220,17 @@ class hypersurfaces(Stage):  # noqa: N801
                         "events mode: hypersurface error propagation ignored"
                     )
                 elif self.propagate_uncertainty:
-                    container["errors"] = (
-                        container["weights"]
-                        * container["hs_scales_uncertainty"]
-                    )
+                    container["errors"] = container["weights"] * unc
                 else:
-                    container["errors"] = (
-                        container["errors"] * container["hs_scales"]
-                    )
+                    container["errors"] = container["errors"] * scales
                     container.mark_changed("errors")
                 if "bin_unc2" in container.keys:
                     container["bin_unc2"] = jnp.clip(
-                        container["bin_unc2"] * container["hs_scales"],
-                        0.0,
-                        None,
+                        container["bin_unc2"] * scales, 0.0, None
                     )
                     container.mark_changed("bin_unc2")
             container["weights"] = jnp.clip(
-                container["weights"] * container["hs_scales"], 0.0, None
+                container["weights"] * scales, 0.0, None
             )
 
 

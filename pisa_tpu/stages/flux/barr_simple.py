@@ -11,6 +11,8 @@ container constant so both signs specialize at trace time.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from pisa_tpu.core.param import Param, ParamSet
@@ -70,6 +72,62 @@ class barr_simple(Stage):  # noqa: N801
             **std_kwargs,
         )
 
+    # stacked-container support: grid (map) calc mode only — the grid is
+    # shared across categories and the modified flux depends only on the
+    # nubar sign, so ONE two-row chain serves all categories (see
+    # pisa_tpu/core/stacking.py)
+    def stacked_ok(self):
+        return self.is_map
+
+    def _compute_stacked(self, container, params):
+        """Grid-mode stacked path: one chain producing the (2, ngrid, 2)
+        nu/nubar flux pair, with rows mapping each category to its sign.
+        Halves the linked path's work too: the per-sign intermediates are
+        shared instead of recomputed per linked group."""
+        (nue_numu_ratio, nu_nubar_ratio, delta_index, uphor, barr_nubar) = (
+            params
+        )
+        energy = jnp.asarray(container["true_energy"])
+        coszen = jnp.asarray(container["true_coszen"])
+        nu_flux = jnp.asarray(container["nu_flux_nominal"])
+        nubar_flux = jnp.asarray(container["nubar_flux_nominal"])
+        if nu_flux.ndim != 2:
+            raise ValueError(
+                "stacked barr_simple expects a shared nominal flux on the"
+                f" calc grid; got shape {nu_flux.shape}"
+            )
+
+        nu_e, nu_mu = _apply_ratio_scale_sum_constant(
+            nue_numu_ratio, nu_flux[:, 0], nu_flux[:, 1]
+        )
+        nub_e, nub_mu = _apply_ratio_scale_sum_constant(
+            nue_numu_ratio, nubar_flux[:, 0], nubar_flux[:, 1]
+        )
+        idx_scale = barr.spectral_index_scale(energy, _EGY_PIVOT, delta_index)
+        nu_e, nu_mu = nu_e * idx_scale, nu_mu * idx_scale
+        nub_e, nub_mu = nub_e * idx_scale, nub_mu * idx_scale
+        e_nu, e_nub = _apply_ratio_scale_sum_constant(
+            nu_nubar_ratio, nu_e, nub_e
+        )
+        mu_nu, mu_nub = _apply_ratio_scale_sum_constant(
+            nu_nubar_ratio, nu_mu, nub_mu
+        )
+
+        out_rows = []
+        for nubar, out_e, out_mu in ((1, e_nu, mu_nu), (-1, e_nub, mu_nub)):
+            oe = out_e * barr.mod_ratio_nubar(
+                nubar, 0, energy, coszen, barr_nubar
+            )
+            om = out_mu * barr.mod_ratio_nubar(
+                nubar, 1, energy, coszen, barr_nubar
+            )
+            oe = oe * barr.mod_ratio_uphor(0, energy, coszen, uphor)
+            om = om * barr.mod_ratio_uphor(1, energy, coszen, uphor)
+            out_rows.append(jnp.stack([oe, om], axis=1))
+
+        rows = (np.asarray(container.cat_aux("nubar")) < 0).astype(np.int32)
+        container.set_stacked("nu_flux", jnp.stack(out_rows), rows=rows)
+
     def compute_function(self):
         p = self.params
         nue_numu_ratio = p.nue_numu_ratio.m_as("dimensionless")
@@ -77,6 +135,22 @@ class barr_simple(Stage):  # noqa: N801
         delta_index = p.delta_index.m_as("dimensionless")
         uphor = p.Barr_uphor_ratio.m_as("dimensionless")
         barr_nubar = p.Barr_nu_nubar_ratio.m_as("dimensionless")
+
+        if any(
+            getattr(c, "is_stacked", False) for c in self.data.containers
+        ):
+            for container in self.data:
+                self._compute_stacked(
+                    container,
+                    (
+                        nue_numu_ratio,
+                        nu_nubar_ratio,
+                        delta_index,
+                        uphor,
+                        barr_nubar,
+                    ),
+                )
+            return
 
         # grid (map) mode: the modified flux depends only on the shared
         # calc grid, the flavor-independent nominal flux pair and the

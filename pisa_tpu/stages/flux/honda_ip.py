@@ -43,6 +43,12 @@ class honda_ip(Stage):  # noqa: N801
     # the flux table path steers host-side table loading; it cannot be traced
     host_param_names = ("flux_table",)
 
+    # grid mode: the nominal flux is computed on the shared calc grid and is
+    # category-independent, so the stacked container stores it as ONE shared
+    # array (events mode would need per-category padding-aware evaluation)
+    def stacked_ok(self):
+        return self.is_map
+
     def setup_function(self):
         self.flux_table = load_2d_table(str(self.params.flux_table.value))
 

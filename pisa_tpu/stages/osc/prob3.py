@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pisa_tpu import FTYPE, ureg
+from pisa_tpu.core.binning import MultiDimBinning
 from pisa_tpu.core.param import Param, ParamSet
 from pisa_tpu.core.stage import Stage
 from pisa_tpu.ops.cplx import C
@@ -457,98 +458,49 @@ class prob3(Stage):  # noqa: N801
             else None
         )
 
+        stacked = any(
+            getattr(c, "is_stacked", False) for c in self.data.containers
+        )
+        if stacked:
+            # stacked containers (grid calc): one propagation per nubar sign
+            # — exactly the linked path's work — stacked into a 2-row
+            # probability array; the per-flavor projections become 6 rows
+            # (nubar-group x final flavor) mapped onto the categories by a
+            # rows index instead of 12 per-container slices
+            for container in self.data:
+                p_nu = self._propagate(
+                    container, 1, dm, mix, mat_pot, mat_decay, lri_pot,
+                    theta_vec, use_fwdgrad, pallas_mode,
+                )
+                p_nub = self._propagate(
+                    container, -1, dm, mix, mat_pot, mat_decay, lri_pot,
+                    theta_vec, use_fwdgrad, pallas_mode,
+                )
+                probability = jnp.stack([p_nu, p_nub])  # (2, n, 3, 3)
+                grp = (
+                    np.asarray(container.cat_aux("nubar")) < 0
+                ).astype(np.int32)
+                flav_arr = np.asarray(
+                    container.cat_aux("flav"), dtype=np.int32
+                )
+                container.set_stacked("probability", probability, rows=grp)
+                # (group, final flavor) rows: P(e->f), P(mu->f)
+                pe = jnp.moveaxis(probability[:, :, 0, :], -1, 1).reshape(
+                    6, -1
+                )
+                pm = jnp.moveaxis(probability[:, :, 1, :], -1, 1).reshape(
+                    6, -1
+                )
+                rows_pf = grp * 3 + flav_arr
+                container.set_stacked("prob_e", pe, rows=rows_pf)
+                container.set_stacked("prob_mu", pm, rows=rows_pf)
+            return
+
         for container in self.data:
-            chain_map = (
-                jnp.asarray(container["layer_chain_map"])
-                if self.layer_dedup
-                else None
+            probs = self._propagate(
+                container, int(container["nubar"]), dm, mix, mat_pot,
+                mat_decay, lri_pot, theta_vec, use_fwdgrad, pallas_mode,
             )
-            chain_order = (
-                jnp.asarray(container["layer_chain_order"])
-                if not self.layer_dedup and "layer_chain_order" in container
-                else None
-            )
-            import os as _os
-
-            slot_index = (
-                jnp.asarray(container["layer_slot_index"])
-                if not self.layer_dedup
-                and "layer_slot_index" in container
-                and _os.environ.get("PISA_TPU_OSC_SLOT_COMPACT", "1")
-                not in ("0", "off")
-                else None
-            )
-            if use_fwdgrad and "osc_blk_e2" in container:
-                # pre-blocked static geometry (prepared at setup): the
-                # per-template program is just pack + kernel + unsort
-                from pisa_tpu.ops.osc.pallas_chain import (
-                    osc_probs_layers_pallas_fwdgrad_prepared,
-                )
-
-                geom = {
-                    gk: jnp.asarray(container[f"osc_blk_{gk}"])
-                    for gk in ("e2", "dens", "dist", "nl", "order", "inv")
-                    if f"osc_blk_{gk}" in container
-                }
-                # tangent propagations only for the FREE oscillation
-                # params (fixed components' cotangents are discarded
-                # upstream); the flagship fit frees 3 of the 6
-                active = tuple(
-                    i
-                    for i, prm in enumerate(
-                        (
-                            self.params.theta12,
-                            self.params.theta13,
-                            self.params.theta23,
-                            self.params.deltacp,
-                            self.params.deltam21,
-                            self.params.deltam31,
-                        )
-                    )
-                    if not prm.is_fixed
-                )
-                probs = osc_probs_layers_pallas_fwdgrad_prepared(
-                    theta_vec,
-                    int(container["nubar"]),
-                    geom,
-                    n=container.size,
-                    reparam=self.reparam_mix_matrix,
-                    nlo_factor=1.020 if self.include_nlo else 1.0,
-                    interpret=(pallas_mode == "interpret"),
-                    active=active,
-                )
-            elif use_fwdgrad:
-                from pisa_tpu.ops.osc.pallas_chain import (
-                    osc_probs_layers_pallas_fwdgrad,
-                )
-
-                probs = osc_probs_layers_pallas_fwdgrad(
-                    theta_vec,
-                    int(container["nubar"]),
-                    jnp.asarray(container["true_energy"], dtype=FTYPE),
-                    jnp.asarray(container["densities"], dtype=FTYPE),
-                    jnp.asarray(container["distances"], dtype=FTYPE),
-                    reparam=self.reparam_mix_matrix,
-                    nlo_factor=1.020 if self.include_nlo else 1.0,
-                    interpret=(pallas_mode == "interpret"),
-                    order=chain_order,
-                )
-            else:
-                probs = osc_probs_layers(
-                    dm,
-                    mix,
-                    mat_pot,
-                    mat_decay,
-                    jnp.asarray(lri_pot, dtype=FTYPE),
-                    int(container["nubar"]),
-                    jnp.asarray(container["true_energy"], dtype=FTYPE),
-                    jnp.asarray(container["densities"], dtype=FTYPE),
-                    jnp.asarray(container["distances"], dtype=FTYPE),
-                    decay_flag=bool(self.neutrino_decay),
-                    chain_map=chain_map,
-                    chain_order=chain_order,
-                    slot_index=slot_index,
-                )
             container["probability"] = probs
             container.mark_changed("probability")
 
@@ -563,11 +515,160 @@ class prob3(Stage):  # noqa: N801
             container.mark_changed("prob_e")
             container.mark_changed("prob_mu")
 
+    def _propagate(
+        self, container, nubar, dm, mix, mat_pot, mat_decay, lri_pot,
+        theta_vec, use_fwdgrad, pallas_mode,
+    ):
+        """One propagation over a container's points for a given nubar sign;
+        returns (n_points, 3, 3) probabilities."""
+        chain_map = (
+            jnp.asarray(container["layer_chain_map"])
+            if self.layer_dedup
+            else None
+        )
+        chain_order = (
+            jnp.asarray(container["layer_chain_order"])
+            if not self.layer_dedup and "layer_chain_order" in container
+            else None
+        )
+        import os as _os
+
+        slot_index = (
+            jnp.asarray(container["layer_slot_index"])
+            if not self.layer_dedup
+            and "layer_slot_index" in container
+            and _os.environ.get("PISA_TPU_OSC_SLOT_COMPACT", "1")
+            not in ("0", "off")
+            else None
+        )
+        if use_fwdgrad and "osc_blk_e2" in container:
+            # pre-blocked static geometry (prepared at setup): the
+            # per-template program is just pack + kernel + unsort
+            from pisa_tpu.ops.osc.pallas_chain import (
+                osc_probs_layers_pallas_fwdgrad_prepared,
+            )
+
+            geom = {
+                gk: jnp.asarray(container[f"osc_blk_{gk}"])
+                for gk in ("e2", "dens", "dist", "nl", "order", "inv")
+                if f"osc_blk_{gk}" in container
+            }
+            # tangent propagations only for the FREE oscillation
+            # params (fixed components' cotangents are discarded
+            # upstream); the flagship fit frees 3 of the 6
+            active = tuple(
+                i
+                for i, prm in enumerate(
+                    (
+                        self.params.theta12,
+                        self.params.theta13,
+                        self.params.theta23,
+                        self.params.deltacp,
+                        self.params.deltam21,
+                        self.params.deltam31,
+                    )
+                )
+                if not prm.is_fixed
+            )
+            return osc_probs_layers_pallas_fwdgrad_prepared(
+                theta_vec,
+                nubar,
+                geom,
+                n=container.size,
+                reparam=self.reparam_mix_matrix,
+                nlo_factor=1.020 if self.include_nlo else 1.0,
+                interpret=(pallas_mode == "interpret"),
+                active=active,
+            )
+        if use_fwdgrad:
+            from pisa_tpu.ops.osc.pallas_chain import (
+                osc_probs_layers_pallas_fwdgrad,
+            )
+
+            return osc_probs_layers_pallas_fwdgrad(
+                theta_vec,
+                nubar,
+                jnp.asarray(container["true_energy"], dtype=FTYPE),
+                jnp.asarray(container["densities"], dtype=FTYPE),
+                jnp.asarray(container["distances"], dtype=FTYPE),
+                reparam=self.reparam_mix_matrix,
+                nlo_factor=1.020 if self.include_nlo else 1.0,
+                interpret=(pallas_mode == "interpret"),
+                order=chain_order,
+            )
+        return osc_probs_layers(
+            dm,
+            mix,
+            mat_pot,
+            mat_decay,
+            jnp.asarray(lri_pot, dtype=FTYPE),
+            nubar,
+            jnp.asarray(container["true_energy"], dtype=FTYPE),
+            jnp.asarray(container["densities"], dtype=FTYPE),
+            jnp.asarray(container["distances"], dtype=FTYPE),
+            decay_flag=bool(self.neutrino_decay),
+            chain_map=chain_map,
+            chain_order=chain_order,
+            slot_index=slot_index,
+        )
+
+    # stacked-container support: grid calc + events apply (the flagship
+    # shape); the probabilities live on the shared grid as (group x flavor)
+    # rows and translate to the stacked events via one batched gather
+    def stacked_ok(self):
+        return self.is_map and not isinstance(
+            self.apply_mode, MultiDimBinning
+        )
+
+    def _apply_stacked(self, container):
+        """Fused grid-rate path for a stacked container: one (6, ngrid) rate
+        array (nubar-group x final flavor — flux is flavor-independent, so
+        each of the 2 flux rows serves 3 rate rows) gathered to the stacked
+        events in a single op."""
+        from pisa_tpu.core.container import _rep_hash
+
+        rep = container.representation
+        container.representation = self.calc_mode
+        nu_flux = container["nu_flux"]  # (2, n, 2), rows = nubar group
+        rows_flux = container.rows[("nu_flux", _rep_hash(self.calc_mode))]
+        pe = container["prob_e"]  # (6, n), rows = group*3 + flav
+        pm = container["prob_mu"]
+        rows_pf = container.rows[("prob_e", _rep_hash(self.calc_mode))]
+        if nu_flux.ndim == 2:
+            # flux shared across categories (single row)
+            nf6 = nu_flux[None]
+        elif (
+            nu_flux.shape[0] == 2
+            and rows_flux is not None
+            and not (isinstance(rows_flux, str) and rows_flux == "cat")
+            and np.array_equal(
+                np.asarray(rows_flux), np.asarray(rows_pf) // 3
+            )
+        ):
+            # expand each flux group row to its 3 flavor rows, ordered to
+            # match rows_pf = group*3 + flav
+            nf6 = jnp.repeat(nu_flux, 3, axis=0)
+        else:
+            raise NotImplementedError(
+                "stacked prob3 expects a shared or nubar-grouped nu_flux on"
+                f" the calc grid (got shape {nu_flux.shape}, rows"
+                f" {rows_flux!r})"
+            )
+        rate = nf6[..., 0] * pe + nf6[..., 1] * pm
+        container.set_stacked("osc_flux_rate", rate, rows=rows_pf)
+        container.representation = rep
+        container["weights"] = (
+            container["weights"] * container["osc_flux_rate"]
+        )
+
     def apply_function(self):
         from pisa_tpu.core.container import _rep_hash
 
         calc_h = _rep_hash(self.calc_mode)
         for container in self.data:
+            if getattr(container, "is_stacked", False):
+                self._apply_stacked(container)
+                continue
             # When flux and probabilities are both valid on the calc grid and
             # must be translated to the apply representation, fuse the
             # flux*probability product ON the grid first and translate the

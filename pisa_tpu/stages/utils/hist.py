@@ -79,6 +79,67 @@ class hist(Stage):  # noqa: N801
             for container in self.data:
                 container.cached_hist_matrix(self.apply_mode)
 
+    # stacked-container support: events->binned only (the binned->binned
+    # transform path keeps per-container matrices)
+    def stacked_ok(self):
+        return not isinstance(self.calc_mode, MultiDimBinning)
+
+    def prepare_stacked(self, data):
+        # build the stacked one-hot membership matrix while coordinates are
+        # concrete so the per-template histogram is ONE batched matmul
+        if isinstance(self.calc_mode, MultiDimBinning):
+            return
+        if self.apply_mode is None:
+            self.apply_mode = data["output_binning"]
+        for container in data.containers:
+            if getattr(container, "is_stacked", False):
+                prev = container.representation
+                container.representation = "events"
+                try:
+                    container.cached_hist_matrix(self.apply_mode)
+                finally:
+                    container.representation = prev
+
+    def _apply_stacked(self, container):
+        """All categories histogrammed in one batched op: (C, n) weights x
+        (C, n, size) one-hot -> (C, size) (with the sumw2 channels stacked
+        into the same matmul, as in the per-container path)."""
+        container.representation = "events"
+        weights = container["weights"]
+        if "astro_weights" in container.keys:
+            weights = weights + container["astro_weights"]
+        if self.unweighted:
+            # padded slots carry the out-of-range index sentinel, so their
+            # unit weights drop out of the histogram like any OOR event
+            weights = jnp.ones_like(weights)
+        if self.apply_unc_weights:
+            unc = container["unc_weights"]
+        else:
+            unc = 1.0
+        w = unc * weights
+        if self.error_method == "sumw2":
+            chans = jnp.stack(
+                [
+                    w,
+                    jnp.square(w),
+                    jnp.square(unc) * weights
+                    if self.apply_unc_weights
+                    else w,
+                ],
+                axis=-1,
+            )
+            res = container.stacked_histogram(chans, self.apply_mode)
+            hist_w, sumw2, bin_unc2 = res[..., 0], res[..., 1], res[..., 2]
+        else:
+            hist_w = container.stacked_histogram(w, self.apply_mode)
+        container.representation = self.apply_mode
+        container["weights"] = hist_w
+        # histogramming does not invalidate the events representation
+        container.validity["weights"][hash("events")] = True
+        if self.error_method == "sumw2":
+            container["errors"] = jnp.sqrt(sumw2)
+            container["bin_unc2"] = bin_unc2
+
     def apply_function(self):
         if isinstance(self.calc_mode, MultiDimBinning):
             if self.unweighted:
@@ -114,6 +175,9 @@ class hist(Stage):  # noqa: N801
                     container["bin_unc2"] = bin_unc2
         else:
             for container in self.data:
+                if getattr(container, "is_stacked", False):
+                    self._apply_stacked(container)
+                    continue
                 container.representation = "events"
                 sample = [
                     container[name] for name in self.apply_mode.names
