@@ -11,7 +11,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["mod_flux", "mod_ratio_uphor", "mod_ratio_nubar", "spectral_index_scale"]
+__all__ = [
+    "mod_flux",
+    "mod_ratio_uphor",
+    "mod_ratio_nubar",
+    "spectral_index_scale",
+    "nubar_mod_field",
+    "mod_ratio_nubar_from_field",
+    "uphor_mod_field",
+    "mod_ratio_uphor_from_field",
+    "spectral_index_scale_from_log",
+]
 
 
 def _sign(val):
@@ -119,6 +129,70 @@ def mod_ratio_nubar(nubar, flav, true_energy, true_coszen, nubar_sys):
     return jnp.maximum(0.0, 1.0 + 0.5 * modfactor)
 
 
+# -- factored (precomputable) forms -------------------------------------------
+#
+# The Barr modifications are built from transcendental fields of (E, coszen)
+# whose PARAMETERS enter only linearly or as simple outer factors:
+#
+# - ``mod_ratio_nubar`` calls ``mod_flux`` with ALL unit coefficients, so its
+#   field M_flav(E, cz) is parameter-free: mod = max(0, 1 +- 0.5*sys*M).
+# - ``mod_ratio_uphor`` (flav 0): the Gaussian ``_norm_fcn(x, A, s)`` is
+#   LINEAR in its amplitude A = |uphor|*L(E), so
+#   mod = 1 - 0.3*sign(u)*_norm_fcn(cz, |u|*L, .35) = 1 - 0.3*u*L(E)*N(cz).
+#
+# When the sample coordinates are fixed (a calc grid, or any event set), the
+# fields can be evaluated ONCE concretely and the per-template math reduces
+# to a few rational ops — removing all log10/pow/exp traffic (and its
+# reverse-mode twin) from compiled templates. Exactness: the factored forms
+# are the same expressions reassociated, equal to the direct path up to one
+# rounding.
+
+
+def nubar_mod_field(flav, true_energy, true_coszen):
+    """Parameter-free field M_flav of :func:`mod_ratio_nubar`."""
+    return mod_flux(
+        flav, true_energy, true_coszen, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0
+    )
+
+
+def mod_ratio_nubar_from_field(nubar, field, nubar_sys):
+    """:func:`mod_ratio_nubar` from a precomputed :func:`nubar_mod_field`."""
+    modfactor = nubar_sys * field
+    if nubar < 0:
+        return jnp.maximum(0.0, 1.0 / (1.0 + 0.5 * modfactor))
+    return jnp.maximum(0.0, 1.0 + 0.5 * modfactor)
+
+
+def uphor_mod_field(flav, true_energy, true_coszen):
+    """Parameter-free field P_flav with
+    ``mod_ratio_uphor == 1 - 0.3 * uphor * P`` (P = 0 for flav=1)."""
+    if flav == 1:
+        return jnp.zeros_like(true_energy)
+    if flav != 0:
+        raise ValueError(f"flav must be 0 or 1; got {flav}")
+    amp = _log_log_param(
+        true_energy,
+        _Z1MAX_E + _Z1MAX_MU,
+        _Z2MAX_E + _Z2MAX_MU,
+        _X1Z,
+        _X2Z,
+        cutoff_value=_NUE_CUTOFF,
+    )
+    return amp * _norm_fcn(true_coszen, 1.0, 0.35)
+
+
+def mod_ratio_uphor_from_field(field, uphor):
+    """:func:`mod_ratio_uphor` from a precomputed :func:`uphor_mod_field`."""
+    return 1.0 - 0.3 * uphor * field
+
+
 def spectral_index_scale(true_energy, egy_pivot, delta_index):
     """(E / E_pivot)^delta_index."""
     return jnp.power(true_energy / egy_pivot, delta_index)
+
+
+def spectral_index_scale_from_log(log_e_over_pivot, delta_index):
+    """:func:`spectral_index_scale` from a precomputed ``log(E/pivot)``
+    (pow lowers to exp(d*log x); precomputing the log halves the
+    transcendental count per template)."""
+    return jnp.exp(delta_index * log_e_over_pivot)

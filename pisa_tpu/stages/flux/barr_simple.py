@@ -79,6 +79,33 @@ class barr_simple(Stage):  # noqa: N801
     def stacked_ok(self):
         return self.is_map
 
+    def prepare_stacked(self, data):
+        """Precompute the parameter-free Barr modification fields on the
+        (concrete) calc grid so the per-template program does only rational
+        ops (see the 'factored forms' note in pisa_tpu/ops/flux/barr.py) —
+        the full-field evaluation cannot constant-fold because the grid
+        coordinates enter compiled templates as device ARGUMENTS."""
+        for container in data.containers:
+            if not getattr(container, "is_stacked", False):
+                continue
+            prev = container.representation
+            container.representation = self.calc_mode
+            try:
+                energy = jnp.asarray(container["true_energy"])
+                coszen = jnp.asarray(container["true_coszen"])
+                container["barr_nubar_field_e"] = barr.nubar_mod_field(
+                    0, energy, coszen
+                )
+                container["barr_nubar_field_mu"] = barr.nubar_mod_field(
+                    1, energy, coszen
+                )
+                container["barr_uphor_field_e"] = barr.uphor_mod_field(
+                    0, energy, coszen
+                )
+                container["barr_log_e_pivot"] = jnp.log(energy / _EGY_PIVOT)
+            finally:
+                container.representation = prev
+
     def _compute_stacked(self, container, params):
         """Grid-mode stacked path: one chain producing the (2, ngrid, 2)
         nu/nubar flux pair, with rows mapping each category to its sign.
@@ -103,7 +130,14 @@ class barr_simple(Stage):  # noqa: N801
         nub_e, nub_mu = _apply_ratio_scale_sum_constant(
             nue_numu_ratio, nubar_flux[:, 0], nubar_flux[:, 1]
         )
-        idx_scale = barr.spectral_index_scale(energy, _EGY_PIVOT, delta_index)
+        if "barr_log_e_pivot" in container:
+            idx_scale = barr.spectral_index_scale_from_log(
+                container["barr_log_e_pivot"], delta_index
+            )
+        else:
+            idx_scale = barr.spectral_index_scale(
+                energy, _EGY_PIVOT, delta_index
+            )
         nu_e, nu_mu = nu_e * idx_scale, nu_mu * idx_scale
         nub_e, nub_mu = nub_e * idx_scale, nub_mu * idx_scale
         e_nu, e_nub = _apply_ratio_scale_sum_constant(
@@ -113,16 +147,32 @@ class barr_simple(Stage):  # noqa: N801
             nu_nubar_ratio, nu_mu, nub_mu
         )
 
+        precomputed = "barr_nubar_field_e" in container
+        if precomputed:
+            field_e = container["barr_nubar_field_e"]
+            field_mu = container["barr_nubar_field_mu"]
+            uphor_e = barr.mod_ratio_uphor_from_field(
+                container["barr_uphor_field_e"], uphor
+            )
         out_rows = []
         for nubar, out_e, out_mu in ((1, e_nu, mu_nu), (-1, e_nub, mu_nub)):
-            oe = out_e * barr.mod_ratio_nubar(
-                nubar, 0, energy, coszen, barr_nubar
-            )
-            om = out_mu * barr.mod_ratio_nubar(
-                nubar, 1, energy, coszen, barr_nubar
-            )
-            oe = oe * barr.mod_ratio_uphor(0, energy, coszen, uphor)
-            om = om * barr.mod_ratio_uphor(1, energy, coszen, uphor)
+            if precomputed:
+                oe = out_e * barr.mod_ratio_nubar_from_field(
+                    nubar, field_e, barr_nubar
+                )
+                om = out_mu * barr.mod_ratio_nubar_from_field(
+                    nubar, field_mu, barr_nubar
+                )
+                oe = oe * uphor_e
+            else:
+                oe = out_e * barr.mod_ratio_nubar(
+                    nubar, 0, energy, coszen, barr_nubar
+                )
+                om = out_mu * barr.mod_ratio_nubar(
+                    nubar, 1, energy, coszen, barr_nubar
+                )
+                oe = oe * barr.mod_ratio_uphor(0, energy, coszen, uphor)
+                om = om * barr.mod_ratio_uphor(1, energy, coszen, uphor)
             out_rows.append(jnp.stack([oe, om], axis=1))
 
         rows = (np.asarray(container.cat_aux("nubar")) < 0).astype(np.int32)

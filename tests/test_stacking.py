@@ -189,6 +189,43 @@ def test_stacked_binned_to_array_rows():
         np.testing.assert_array_equal(got[i, n:], 0.0)
 
 
+def test_barr_factored_fields_match_direct():
+    """The precomputable Barr modification fields (pisa_tpu/ops/flux/barr.py
+    'factored forms') reproduce the direct evaluation."""
+    from pisa_tpu.ops.flux import barr
+
+    rng = np.random.RandomState(11)
+    e = jnp.asarray(rng.uniform(1.0, 200.0, 300).astype(FTYPE))
+    cz = jnp.asarray(rng.uniform(-1.0, 1.0, 300).astype(FTYPE))
+    for sys_val in (-1.7, 0.0, 0.9):
+        for nubar in (1, -1):
+            for flav, field_fn in (
+                (0, barr.nubar_mod_field),
+                (1, barr.nubar_mod_field),
+            ):
+                direct = barr.mod_ratio_nubar(nubar, flav, e, cz, sys_val)
+                fact = barr.mod_ratio_nubar_from_field(
+                    nubar, field_fn(flav, e, cz), sys_val
+                )
+                np.testing.assert_allclose(
+                    np.asarray(fact), np.asarray(direct), rtol=5e-6
+                )
+        for flav in (0, 1):
+            direct = barr.mod_ratio_uphor(flav, e, cz, sys_val)
+            fact = barr.mod_ratio_uphor_from_field(
+                barr.uphor_mod_field(flav, e, cz), sys_val
+            )
+            np.testing.assert_allclose(
+                np.asarray(fact), np.asarray(direct), rtol=5e-6, atol=1e-7
+            )
+    for delta in (-0.3, 0.12):
+        direct = barr.spectral_index_scale(e, 24.09, delta)
+        fact = barr.spectral_index_scale_from_log(jnp.log(e / 24.09), delta)
+        np.testing.assert_allclose(
+            np.asarray(fact), np.asarray(direct), rtol=5e-6
+        )
+
+
 def test_stacking_rejects_mixed_keys():
     cs = _toy_set()
     cs.containers[1]["extra"] = np.ones(12, dtype=FTYPE)
