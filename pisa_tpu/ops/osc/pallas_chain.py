@@ -101,6 +101,18 @@ LANES = 128
 # fits, so 8 is the default.
 BLOCK_ROWS = int(_os.environ.get("PISA_TPU_OSC_BLOCK_ROWS", "8"))
 
+# Layer-loop unroll factor: the per-layer transition matrix T is
+# independent across layers (only the state product v <- T v is
+# sequential), and one (BLOCK_ROWS=8, 128) array is exactly one fp32
+# vreg — so the un-unrolled loop issues one long serial dependency chain
+# (divides/sqrt/trig latencies stall the VPU; measured ~3.4k cycles per
+# ~600-instruction layer step). Computing UNROLL layers' T matrices per
+# iteration gives Mosaic independent DAGs to interleave. Geometry layer
+# slabs are padded to a multiple of 4 (supports 1/2/4; trailing dx=0
+# slots act as identity), so the bound rounding never reads OOB.
+UNROLL = int(_os.environ.get("PISA_TPU_OSC_UNROLL", "2"))
+assert UNROLL in (1, 2, 4), "PISA_TPU_OSC_UNROLL must be 1, 2 or 4"
+
 # atan(t)/t on [0, 1] as a degree-9 polynomial in t^2 (Chebyshev-node
 # least-squares fit; max abs error 1.8e-9 < fp32 eps).
 _ATAN_COEFS = (
@@ -246,6 +258,16 @@ def _layer_step(carry, pv, rho, dx, econ, picks):
     `rho`/`dx` are the layer's (BLOCK_ROWS, LANES) geometry slabs (zero
     tangent), `econ` the energy constants, `picks` the vacuum-matched
     ordering masks (non-differentiable)."""
+    T, keep = _layer_T(pv, rho, dx, econ, picks)
+    return _flat12(_apply_T(T, keep, _unflat12(carry)))
+
+
+def _layer_T(pv, rho, dx, econ, picks):
+    """One layer's transition matrix: (T, keep) where T is the nested 3x3
+    of C (Barger eq. 10 amplitude up to a global phase) and `keep` the
+    dx > 0 mask (zero-length layers act as identity in :func:`_apply_T`).
+    Independent of the propagated state — the unrolled chain loop builds
+    several layers' T matrices as independent DAGs before applying them."""
     _, Me, Le, dm00, dm10, dm20 = _unpack_params(pv)
     one_over_two_e = econ["one_over_two_e"]
     two_e = econ["two_e"]
@@ -254,7 +276,6 @@ def _layer_step(carry, pv, rho, dx, econ, picks):
     zeros = econ["zeros"]
     third = 1.0 / 3.0
 
-    V = _unflat12(carry)
     a = (0.5 * TWO_SQRT2_GF) * rho
 
     # mass-basis Hamiltonian, Hermitian triangle:
@@ -387,10 +408,12 @@ def _layer_step(carry, pv, rho, dx, econ, picks):
         [tsum(3, True), tsum(1), tsum(5)],
         [tsum(4, True), tsum(5, True), tsum(2)],
     ]
+    return T, dx > 0.0
 
-    # chain product on the two state columns: v <- T @ v;
-    # zero-length layers act as identity
-    keep = dx > 0.0
+
+def _apply_T(T, keep, V):
+    """Chain product on the two state columns: v <- T @ v; masked
+    (zero-length) layers act as identity."""
     newV = []
     for a_idx in range(2):
         col = []
@@ -407,7 +430,7 @@ def _layer_step(carry, pv, rho, dx, econ, picks):
                 )
             )
         newV.append(col)
-    return _flat12(newV)
+    return newV
 
 
 def _final_probs_flat(carry, pv):
@@ -445,12 +468,24 @@ def _chain_block_math(p, nl, e, dens_get, dist_get):
     econ = _econ(e)
     picks = _vacuum_picks(pv, econ)
 
-    def body(layer, carry):
-        return _layer_step(
-            carry, pv, dens_get(layer), dist_get(layer), econ, picks
-        )
+    def body(u, carry):
+        # UNROLL independent T builds per iteration (interleavable
+        # dependency chains), then the sequential state products. Reads
+        # past the dynamic bound land on dx == 0 slots (identity) — the
+        # layer dim is padded to a multiple of 4 by _prep_blocks.
+        base = u * UNROLL
+        ts = [
+            _layer_T(pv, dens_get(base + k), dist_get(base + k), econ,
+                     picks)
+            for k in range(UNROLL)
+        ]
+        V = _unflat12(carry)
+        for T, keep in ts:
+            V = _apply_T(T, keep, V)
+        return _flat12(V)
 
-    carry = jax.lax.fori_loop(0, nl, body, _init_carry(pv, econ))
+    n_iter = (nl + (UNROLL - 1)) // UNROLL
+    carry = jax.lax.fori_loop(0, n_iter, body, _init_carry(pv, econ))
     flat = _final_probs_flat(carry, pv)
     return [[flat[3 * a + b] for b in range(3)] for a in range(2)]
 
@@ -597,7 +632,10 @@ def _prep_blocks(energy, densities, distances):
     (e2, dens, dist, nl_blocks, rows, grid, n_pad)."""
     dtype = energy.dtype
     n = energy.shape[0]
-    n_layers = densities.shape[1]
+    # pad the layer dim to a multiple of 4 so every supported UNROLL's
+    # rounded-up loop bound stays in range (padding slots have dx = 0 and
+    # act as identity layers)
+    n_layers = -(-densities.shape[1] // 4) * 4
     block = BLOCK_ROWS * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
@@ -605,7 +643,7 @@ def _prep_blocks(energy, densities, distances):
     e2 = jnp.concatenate(
         [energy, jnp.ones((n_pad - n,), dtype=dtype)]
     ).reshape(rows, LANES)
-    pad2 = ((0, n_pad - n), (0, 0))
+    pad2 = ((0, n_pad - n), (0, n_layers - densities.shape[1]))
     dens = (
         jnp.pad(densities, pad2).reshape(rows, LANES, n_layers)
         .transpose(2, 0, 1)
