@@ -57,11 +57,16 @@ def main():
     geom = pc.prepare_chain_geometry(e, densities, distances, order=order)
     geom = {k: jax.device_put(v) for k, v in geom.items()}
 
-    # executed point-layer steps implied by the per-block bounds
+    # executed point-layer steps implied by the per-block bounds, counting
+    # the UNROLL round-up the kernel actually runs (ceil(nl/UNROLL)*UNROLL);
+    # the dense rectangle is measured against the ORIGINAL layer width, with
+    # the padded width reported separately
     nl = np.asarray(geom["nl"]).ravel()
     block = pc.BLOCK_ROWS * pc.LANES
-    steps = int(nl.sum()) * block
-    dense = len(nl) * int(np.asarray(geom["dens"]).shape[0]) * block
+    executed = -(-nl // pc.UNROLL) * pc.UNROLL
+    steps = int(executed.sum()) * block
+    dense = len(nl) * int(distances.shape[1]) * block
+    pad_layers = int(np.asarray(geom["dens"]).shape[0])
 
     mix = pmns_matrix(np.sin(0.5838), np.sin(0.1496), np.sin(0.8587),
                       4.084)
@@ -101,7 +106,8 @@ def main():
     print(
         f"{kind}: {dt * 1e3:.3f} ms/propagation  "
         f"(n={n}, BLOCK_ROWS={pc.BLOCK_ROWS}, unroll={pc.UNROLL}, "
-        f"steps={steps/1e3:.0f}k = {100.0 * steps / dense:.1f}% of dense, "
+        f"steps={steps/1e3:.0f}k = {100.0 * steps / dense:.1f}% of dense "
+        f"({distances.shape[1]} layers, padded to {pad_layers}), "
         f"platform={jax.default_backend()})"
     )
     # checksum so A/B runs can confirm identical math

@@ -654,11 +654,16 @@ def _prep_blocks(energy, densities, distances):
     )
 
     # per-block loop bound: 1 + index of the last nonzero-length layer over
-    # the block's points (0 for all-padding blocks -> identity chain)
+    # the block's points (0 for all-padding blocks -> identity chain).
+    # `mask` has the ORIGINAL layer width, so the bound is measured against
+    # it — measuring against the padded n_layers inflated every bound by the
+    # pad amount (up to +3 identity-layer iterations per block) and undercut
+    # the dynamic trimming. The result stays <= padded n_layers, so the
+    # UNROLL round-up cannot read out of bounds (padding slots are dx = 0).
     mask = distances > 0.0
     nl = jnp.where(
         mask.any(axis=1),
-        n_layers - jnp.argmax(mask[:, ::-1], axis=1),
+        distances.shape[1] - jnp.argmax(mask[:, ::-1], axis=1),
         0,
     ).astype(jnp.int32)
     grid = rows // BLOCK_ROWS
