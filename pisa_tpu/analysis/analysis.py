@@ -869,7 +869,9 @@ class BasicAnalysis:
         bounded L-BFGS inside ``lax.while_loop``, ONE device dispatch per
         complete fit (vs one per iteration for 'gradient', or one template
         per finite-difference component for the reference,
-        ``analysis.py:1561``). method_kwargs: ``max_steps``, ``gtol``."""
+        ``analysis.py:1561``). method_kwargs: ``max_steps``, ``gtol``,
+        ``platform`` (e.g. ``"cpu"`` to route a toy-scale, dispatch-bound
+        fit to the host backend)."""
         from pisa_tpu.analysis import device_fit
 
         if external_priors_penalty is not None:
@@ -880,6 +882,10 @@ class BasicAnalysis:
         kwargs = dict(method_kwargs or {})
         max_steps = int(kwargs.pop("max_steps", 200))
         gtol = kwargs.pop("gtol", None)  # None -> precision-aware default
+        # small-workload routing: platform="cpu" runs the whole fit program
+        # on the host backend — toy-scale fits are per-dispatch-latency
+        # bound, so a remote/tunneled accelerator LOSES to the host there
+        platform = kwargs.pop("platform", None)
         if kwargs:
             raise ValueError(f"unknown device-fit options: {sorted(kwargs)}")
         metric_name = self._metric_name(metric)
@@ -898,7 +904,7 @@ class BasicAnalysis:
         los, his = compiled._current_bounds()
         res = device_fit.minimize_on_device(
             value_fn.raw, x0, los, his, compiled._all_data_vals(),
-            max_steps=max_steps, gtol=gtol,
+            max_steps=max_steps, gtol=gtol, platform=platform,
         )
         minimizer_time = time.time() - t_start
 

@@ -105,7 +105,7 @@ def lbfgs_while(fun, z0, max_steps=200, gtol=None, memory_size=10):
 
 
 def minimize_on_device(raw_objective, x0, los, his, datas,
-                       max_steps=200, gtol=None):
+                       max_steps=200, gtol=None, platform=None):
     """One complete bounded fit in ONE device program.
 
     Parameters
@@ -121,15 +121,28 @@ def minimize_on_device(raw_objective, x0, los, his, datas,
         not recompile).
     datas : pytree
         Container-data arguments (``CompiledDistribution._all_data_vals``).
+    platform : str or None
+        Backend to run the fit program on (e.g. ``"cpu"``). Small-workload
+        routing: a toy-scale fit is dominated by per-dispatch latency, so
+        on a remote/tunneled accelerator it is FASTER on the host backend
+        (one local dispatch, microseconds) than on the device (~tens of ms
+        per round-trip). The container data is copied to the target backend
+        once and memoized on the objective. None = ambient default backend.
 
     Returns
     -------
     dict with ``x`` ([0,1] space), ``fun``, ``nit`` (host values).
     """
+    import contextlib
 
     if gtol is None:
         gtol = DEFAULT_GTOL
-    run = getattr(raw_objective, "_device_fit_runner", None)
+    attr = (
+        "_device_fit_runner"
+        if platform is None
+        else f"_device_fit_runner_{platform}"
+    )
+    run = getattr(raw_objective, attr, None)
     if run is None:
 
         @jax.jit
@@ -141,14 +154,34 @@ def minimize_on_device(raw_objective, x0, los, his, datas,
             return _to_x(z), val, nit
 
         try:  # reuse the compiled program across fits on the same objective
-            raw_objective._device_fit_runner = run
+            setattr(raw_objective, attr, run)
         except AttributeError:
             pass
 
-    x, val, nit = run(
-        jnp.asarray(x0), jnp.asarray(los), jnp.asarray(his), datas,
-        jnp.asarray(max_steps, dtype=jnp.int32), jnp.asarray(gtol, FTYPE),
-    )
+    if platform is not None:
+        dev = jax.local_devices(backend=platform)[0]
+        key = (platform,) + tuple(
+            id(a) for a in jax.tree_util.tree_leaves(datas)
+        )
+        cache = getattr(raw_objective, "_device_fit_datas_cache", None)
+        if cache is not None and cache[0] == key:
+            datas = cache[1]
+        else:
+            datas = jax.device_put(datas, dev)
+            try:
+                raw_objective._device_fit_datas_cache = (key, datas)
+            except AttributeError:
+                pass
+        ctx = jax.default_device(dev)
+    else:
+        ctx = contextlib.nullcontext()
+
+    with ctx:
+        x, val, nit = run(
+            jnp.asarray(x0), jnp.asarray(los), jnp.asarray(his), datas,
+            jnp.asarray(max_steps, dtype=jnp.int32),
+            jnp.asarray(gtol, FTYPE),
+        )
     return {
         "x": np.asarray(x, dtype=np.float64),
         "fun": float(val),

@@ -638,6 +638,22 @@ class ParamSet(MutableSequence):
             p._rescaled_value = v
 
     def priors_penalty(self, metric):
+        # daemonflux switch (cf. reference ``param.py:1388-1402``): when a
+        # daemon_chi2 param is present, the daemon_* params' penalty is the
+        # single covariance chi2 the flux stage computed, not their
+        # individual priors
+        if "daemon_chi2" in self.names:
+            from pisa_tpu.utils import stats
+
+            total = sum(
+                p.prior_penalty(metric)
+                for p in self._params
+                if "daemon_" not in p.name
+            )
+            conv = -0.5 if metric in stats.METRICS_TO_MAXIMIZE else 1.0
+            return total + conv * self["daemon_chi2"].value.m_as(
+                "dimensionless"
+            )
         return sum(p.prior_penalty(metric) for p in self._params)
 
     def priors_penalties(self, metric):

@@ -394,7 +394,8 @@ def _dedup_rows(arrays):
     return uniq, rows
 
 
-def build_stacked_set(container_set, coord_keys=(), name=None):
+def build_stacked_set(container_set, coord_keys=(), name=None,
+                      pad_multiple=1):
     """Build a ContainerSet holding ONE StackedContainer standing in for all
     containers of `container_set` (which is NOT mutated).
 
@@ -404,6 +405,11 @@ def build_stacked_set(container_set, coord_keys=(), name=None):
     coord_keys : collection of str
         Event keys that are binning coordinates (padded with NaN so padded
         events fall outside every binning); all other float keys pad with 0.
+    pad_multiple : int
+        Round the padded per-category event count up to a multiple of this
+        (device-mesh size for sharded templates, so the stacked event axis
+        partitions evenly; the extra slots follow the same NaN/0 padding
+        rules and drop out of every reduction).
 
     Raises
     ------
@@ -427,7 +433,8 @@ def build_stacked_set(container_set, coord_keys=(), name=None):
 
     ev_h = _rep_hash("events")
     sizes = [_events_size(c) for c in containers]
-    n_pad = max(sizes)
+    pad_multiple = max(1, int(pad_multiple))
+    n_pad = -(-max(sizes) // pad_multiple) * pad_multiple
 
     sc = StackedContainer(
         name or container_set.name or "stacked",

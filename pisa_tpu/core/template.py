@@ -169,7 +169,18 @@ class CompiledTemplate:
             hoisted.append(stage)
         return hoisted, stages[len(hoisted):]
 
-    def _build_stacked(self):
+    def _coord_keys(self):
+        """Event keys that are binning coordinates (NaN-padded when stacking
+        or pad-and-mask sharding): any dimension name of any binning the
+        template touches."""
+        coord_keys = set(self.output_binning.names)
+        for stage in self.pipeline.stages:
+            for mode in (stage.calc_mode, stage.apply_mode):
+                if hasattr(mode, "names"):
+                    coord_keys.update(mode.names)
+        return coord_keys
+
+    def _build_stacked(self, pad_multiple=1):
         """Try to stack the pipeline's containers for tracing; fall back
         silently (self._trace_data stays pipeline.data) when ineligible."""
         import os
@@ -189,16 +200,10 @@ class CompiledTemplate:
                 unsupported,
             )
             return
-        # coordinate keys (padded with NaN): any dimension name of any
-        # binning the template touches
-        coord_keys = set(self.output_binning.names)
-        for stage in self.pipeline.stages:
-            for mode in (stage.calc_mode, stage.apply_mode):
-                if hasattr(mode, "names"):
-                    coord_keys.update(mode.names)
         try:
             self._trace_data = stacking.build_stacked_set(
-                self.pipeline.data, coord_keys=coord_keys
+                self.pipeline.data, coord_keys=self._coord_keys(),
+                pad_multiple=pad_multiple,
             )
         except stacking.StackingError as exc:
             logging.info("stacking disabled: %s", exc)
@@ -413,27 +418,66 @@ class CompiledTemplate:
     def shard(self, mesh, axis_name="data"):
         """Shard the template's event/grid axis across a device mesh.
 
-        Every container array is device_put with its leading axis
-        partitioned over `mesh`; XLA then partitions the compiled template
-        program (SPMD), inserting the needed collectives (psum for binned
-        reductions). The TPU-native replacement for the reference's llh
-        server farm (``pisa/utils/llh_server.py:64-120``). Returns self.
+        Every container array is device_put with its event (and, where
+        clean, grid-point) axis partitioned over `mesh`; XLA then partitions
+        the compiled template program (SPMD), inserting the needed
+        collectives (psum for binned reductions). Works on the stacked
+        production program directly (see inline notes) — the multi-chip
+        program IS the single-chip fast path. The TPU-native replacement for
+        the reference's llh server farm
+        (``pisa/utils/llh_server.py:64-120``). Returns self.
         """
-        from pisa_tpu.parallel import shard_containers
+        from pisa_tpu.parallel import (
+            shard_containers, shard_stacked_containers,
+        )
 
+        n = mesh.devices.size
         if self._trace_data is not self.pipeline.data:
-            # event-axis sharding partitions the per-category containers;
-            # drop the stacked view (its event axis is axis 1 and its padded
-            # rows would shard unevenly) and trace per-container
-            logging.debug("shard(): disabling container stacking")
-            self._trace_data = self.pipeline.data
+            # the category-STACKED container set (the production fast path;
+            # pisa_tpu/core/stacking.py) shards as the SAME program: the
+            # padded event axis is re-padded to a multiple of the mesh size
+            # and partitioned (axis 1 of the (C, n_pad, ...) arrays), shared
+            # calc-grid arrays partition on the grid axis, and the one-hot
+            # histogram matmul reduces with a psum — matching the
+            # reference's mode-independent container linking
+            # (pisa/core/container.py:279-337)
+            sc = self._trace_data.containers[0]
+            if sc.n_pad % n != 0:
+                # re-stack with the padding rounded up to the mesh size
+                # (re-runs the stages' prepare_stacked hooks so cached
+                # one-hot matrices / blocked geometry match the new n_pad)
+                logging.debug(
+                    "shard(): re-stacking with pad_multiple=%d"
+                    " (n_pad %d %% %d != 0)", n, sc.n_pad, n,
+                )
+                self._trace_data = self.pipeline.data
+                self._build_stacked(pad_multiple=n)
+            if self._trace_data is not self.pipeline.data:
+                import os
 
-        shard_containers(self.pipeline.data, mesh, axis_name=axis_name)
+                shard_stacked_containers(
+                    self._trace_data, mesh, axis_name=axis_name,
+                    shard_grid=os.environ.get(
+                        "PISA_TPU_SHARD_GRID", "1"
+                    ) not in ("0", "off", "false"),
+                )
+            else:  # re-stacking unexpectedly fell back: shard per-container
+                logging.warning(
+                    "shard(): stacked re-pad failed; sharding per-container"
+                )
+                shard_containers(
+                    self.pipeline.data, mesh, axis_name=axis_name,
+                    coord_keys=self._coord_keys(),
+                )
+        else:
+            shard_containers(
+                self.pipeline.data, mesh, axis_name=axis_name,
+                coord_keys=self._coord_keys(),
+            )
         # refresh the data-argument slots with the sharded placements (jit
         # picks the partitioning up from the argument shardings)
         self._place_container_data()
-        # the per-container flat-index caches may be cold when init traced a
-        # stacked view; repopulate them for the per-container trace
+        # repopulate flat-index caches invalidated by re-stacking / padding
         self._populate_flatidx_caches()
         self._jitted = jax.jit(self._build_fn())
         self._grad_cache = {}

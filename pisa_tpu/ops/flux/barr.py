@@ -18,6 +18,7 @@ __all__ = [
     "spectral_index_scale",
     "nubar_mod_field",
     "mod_ratio_nubar_from_field",
+    "mod_ratio_nubar_from_field_signed",
     "uphor_mod_field",
     "mod_ratio_uphor_from_field",
     "spectral_index_scale_from_log",
@@ -161,6 +162,17 @@ def mod_ratio_nubar_from_field(nubar, field, nubar_sys):
     if nubar < 0:
         return jnp.maximum(0.0, 1.0 / (1.0 + 0.5 * modfactor))
     return jnp.maximum(0.0, 1.0 + 0.5 * modfactor)
+
+
+def mod_ratio_nubar_from_field_signed(sign, field, nubar_sys):
+    """:func:`mod_ratio_nubar_from_field` with an ARRAY nubar sign (one
+    +-1 per stacked category row, broadcast against the field); used by the
+    category-stacked events-mode flux path where the sign varies along the
+    leading axis instead of being a static per-container constant."""
+    modfactor = nubar_sys * field
+    plus = jnp.maximum(0.0, 1.0 + 0.5 * modfactor)
+    minus = jnp.maximum(0.0, 1.0 / (1.0 + 0.5 * modfactor))
+    return jnp.where(sign < 0, minus, plus)
 
 
 def uphor_mod_field(flav, true_energy, true_coszen):

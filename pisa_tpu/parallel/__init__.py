@@ -21,12 +21,14 @@ from pisa_tpu.parallel.sharding import (
     build_batched_objective,
     default_mesh,
     shard_containers,
+    shard_stacked_containers,
 )
 from pisa_tpu.parallel import multihost
 
 __all__ = [
     "default_mesh",
     "shard_containers",
+    "shard_stacked_containers",
     "build_batched_objective",
     "multihost",
 ]

@@ -31,6 +31,10 @@ class simple_data_loader(Stage):  # noqa: N801
     output_names : categories to load
     """
 
+    # the apply is pure per-event array math (weights = initial_weights),
+    # shape-agnostic over the (C, n_pad) category-stacked layout
+    supports_stacked = True
+
     def __init__(
         self,
         events_file,

@@ -72,27 +72,38 @@ class barr_simple(Stage):  # noqa: N801
             **std_kwargs,
         )
 
-    # stacked-container support: grid (map) calc mode only — the grid is
-    # shared across categories and the modified flux depends only on the
-    # nubar sign, so ONE two-row chain serves all categories (see
-    # pisa_tpu/core/stacking.py)
-    def stacked_ok(self):
-        return self.is_map
+    # stacked-container support: in grid (map) calc mode the grid is shared
+    # across categories and the modified flux depends only on the nubar
+    # sign, so ONE two-row chain serves all categories; in events calc mode
+    # the (C, n_pad) coordinate arrays vectorize the same math with a
+    # per-category (C, 1) nubar sign select (see pisa_tpu/core/stacking.py)
+    supports_stacked = True
 
     def prepare_stacked(self, data):
         """Precompute the parameter-free Barr modification fields on the
-        (concrete) calc grid so the per-template program does only rational
-        ops (see the 'factored forms' note in pisa_tpu/ops/flux/barr.py) —
-        the full-field evaluation cannot constant-fold because the grid
-        coordinates enter compiled templates as device ARGUMENTS."""
+        (concrete) calc sample — grid or stacked events — so the
+        per-template program does only rational ops (see the 'factored
+        forms' note in pisa_tpu/ops/flux/barr.py); the full-field evaluation
+        cannot constant-fold because the coordinates enter compiled
+        templates as device ARGUMENTS. In stacked events mode the NaN
+        padding slots are sanitized here (concrete isnan mask), so the
+        traced program's parameter-dependent math never touches a NaN —
+        otherwise 0-weighted pad slots would still poison parameter
+        GRADIENTS through 0 * NaN cotangent products."""
         for container in data.containers:
             if not getattr(container, "is_stacked", False):
                 continue
             prev = container.representation
             container.representation = self.calc_mode
             try:
-                energy = jnp.asarray(container["true_energy"])
-                coszen = jnp.asarray(container["true_coszen"])
+                energy = np.asarray(container["true_energy"], dtype=float)
+                coszen = np.asarray(container["true_coszen"], dtype=float)
+                invalid = np.isnan(energy) | np.isnan(coszen)
+                if invalid.any():
+                    energy = np.where(invalid, 1.0, energy)
+                    coszen = np.where(invalid, 0.0, coszen)
+                energy = jnp.asarray(energy)
+                coszen = jnp.asarray(coszen)
                 container["barr_nubar_field_e"] = barr.nubar_mod_field(
                     0, energy, coszen
                 )
@@ -178,6 +189,83 @@ class barr_simple(Stage):  # noqa: N801
         rows = (np.asarray(container.cat_aux("nubar")) < 0).astype(np.int32)
         container.set_stacked("nu_flux", jnp.stack(out_rows), rows=rows)
 
+    def _compute_stacked_events(self, container, params):
+        """Events-calc stacked path: the per-event gufunc of the reference
+        (``pisa/stages/flux/barr_simple.py:146-246``) vectorized over the
+        whole (C, n_pad) category-stacked event block, with the per-category
+        nubar sign as a (C, 1) broadcast select instead of a static
+        per-container constant. NaN padding slots are guarded by sanitizing
+        the coordinate INPUTS (not the outputs): a padded slot's weight is
+        exactly 0, but an unsanitized NaN would still reach parameter
+        gradients through 0 * NaN cotangent products."""
+        (nue_numu_ratio, nu_nubar_ratio, delta_index, uphor, barr_nubar) = (
+            params
+        )
+        energy = jnp.asarray(container["true_energy"])  # (C, n_pad)
+        coszen = jnp.asarray(container["true_coszen"])
+        nu_flux = jnp.asarray(container["nu_flux_nominal"])  # (C, n_pad, 2)
+        nubar_flux = jnp.asarray(container["nubar_flux_nominal"])
+        sign = jnp.asarray(
+            np.asarray(container.cat_aux("nubar"), dtype=float)[:, None],
+            dtype=energy.dtype,
+        )  # (C, 1)
+
+        precomputed = "barr_log_e_pivot" in container
+        if not precomputed:
+            # sanitize pads inline (prepare_stacked normally did it)
+            valid = ~(jnp.isnan(energy) | jnp.isnan(coszen))
+            energy = jnp.where(valid, energy, 1.0)
+            coszen = jnp.where(valid, coszen, 0.0)
+
+        nu_e, nu_mu = _apply_ratio_scale_sum_constant(
+            nue_numu_ratio, nu_flux[..., 0], nu_flux[..., 1]
+        )
+        nub_e, nub_mu = _apply_ratio_scale_sum_constant(
+            nue_numu_ratio, nubar_flux[..., 0], nubar_flux[..., 1]
+        )
+        if precomputed:
+            idx_scale = barr.spectral_index_scale_from_log(
+                container["barr_log_e_pivot"], delta_index
+            )
+        else:
+            idx_scale = barr.spectral_index_scale(
+                energy, _EGY_PIVOT, delta_index
+            )
+        nu_e, nu_mu = nu_e * idx_scale, nu_mu * idx_scale
+        nub_e, nub_mu = nub_e * idx_scale, nub_mu * idx_scale
+        e_nu, e_nub = _apply_ratio_scale_sum_constant(
+            nu_nubar_ratio, nu_e, nub_e
+        )
+        mu_nu, mu_nub = _apply_ratio_scale_sum_constant(
+            nu_nubar_ratio, nu_mu, nub_mu
+        )
+        out_e = jnp.where(sign < 0, e_nub, e_nu)
+        out_mu = jnp.where(sign < 0, mu_nub, mu_nu)
+
+        if precomputed:
+            out_e = out_e * barr.mod_ratio_nubar_from_field_signed(
+                sign, container["barr_nubar_field_e"], barr_nubar
+            )
+            out_mu = out_mu * barr.mod_ratio_nubar_from_field_signed(
+                sign, container["barr_nubar_field_mu"], barr_nubar
+            )
+            out_e = out_e * barr.mod_ratio_uphor_from_field(
+                container["barr_uphor_field_e"], uphor
+            )
+        else:
+            field_e = barr.nubar_mod_field(0, energy, coszen)
+            field_mu = barr.nubar_mod_field(1, energy, coszen)
+            out_e = out_e * barr.mod_ratio_nubar_from_field_signed(
+                sign, field_e, barr_nubar
+            )
+            out_mu = out_mu * barr.mod_ratio_nubar_from_field_signed(
+                sign, field_mu, barr_nubar
+            )
+            out_e = out_e * barr.mod_ratio_uphor(0, energy, coszen, uphor)
+            out_mu = out_mu * barr.mod_ratio_uphor(1, energy, coszen, uphor)
+
+        container["nu_flux"] = jnp.stack([out_e, out_mu], axis=-1)
+
     def compute_function(self):
         p = self.params
         nue_numu_ratio = p.nue_numu_ratio.m_as("dimensionless")
@@ -189,17 +277,18 @@ class barr_simple(Stage):  # noqa: N801
         if any(
             getattr(c, "is_stacked", False) for c in self.data.containers
         ):
+            params_tuple = (
+                nue_numu_ratio,
+                nu_nubar_ratio,
+                delta_index,
+                uphor,
+                barr_nubar,
+            )
             for container in self.data:
-                self._compute_stacked(
-                    container,
-                    (
-                        nue_numu_ratio,
-                        nu_nubar_ratio,
-                        delta_index,
-                        uphor,
-                        barr_nubar,
-                    ),
-                )
+                if self.is_map:
+                    self._compute_stacked(container, params_tuple)
+                else:
+                    self._compute_stacked_events(container, params_tuple)
             return
 
         # grid (map) mode: the modified flux depends only on the shared

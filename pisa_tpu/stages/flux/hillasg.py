@@ -3,9 +3,12 @@ Hillas-Gaisser H3a atmospheric flux (cf. reference
 ``pisa/stages/flux/hillasg.py``): 2-D (energy, coszen) flux tables including
 prompt nutau contributions, evaluated with the integral-preserving scheme.
 
-The H3a table file is not vendored (it is absent from the reference's
-bundled resources as well); the stage works when pointed at a table of the
-documented format.
+A generated H3a table IS vendored (``flux/hillas-h3a-taumode.d``, produced
+by ``scripts/make_h3a_table.py`` — the analytic pion/kaon/prompt cascade on
+the Gaisser-2012 H3a primary spectrum; the reference's own MCEq-produced
+table is IceCube-internal and not redistributable), so the stage runs end
+to end out of the box; point ``flux_table`` at a real table of the same
+"hg_taumode" format for production use.
 """
 
 from __future__ import annotations
@@ -83,7 +86,14 @@ class hillasg(Stage):  # noqa: N801
 
 
 def init_test(**param_kwargs):
-    """Instantiation example (skipped: H3a table not vendored)."""
-    import pytest
-
-    pytest.skip("Hillas-Gaisser flux table not vendored")
+    """Instantiation example (vendored generated H3a table)."""
+    param_set = ParamSet(
+        [
+            Param(
+                name="flux_table",
+                value="flux/hillas-h3a-taumode.d",
+                **param_kwargs,
+            ),
+        ]
+    )
+    return hillasg(params=param_set, calc_mode="events")

@@ -539,6 +539,12 @@ class prob3(Stage):  # noqa: N801
             and "layer_slot_index" in container
             and _os.environ.get("PISA_TPU_OSC_SLOT_COMPACT", "1")
             not in ("0", "off")
+            # grid-sharded containers (shard_stacked_containers): the slot
+            # indices are GLOBAL over the flat (point, layer) space, so the
+            # compacted gather would force cross-shard collectives; the
+            # uncompacted XLA formulation is purely elementwise over the
+            # grid axis and partitions cleanly
+            and not getattr(container, "grid_sharded", False)
             else None
         )
         if use_fwdgrad and "osc_blk_e2" in container:
@@ -624,10 +630,32 @@ class prob3(Stage):  # noqa: N801
         """Fused grid-rate path for a stacked container: one (6, ngrid) rate
         array (nubar-group x final flavor — flux is flavor-independent, so
         each of the 2 flux rows serves 3 rate rows) gathered to the stacked
-        events in a single op."""
+        events in a single op.
+
+        When the flux is PER-EVENT (events-calc flux stage upstream, e.g.
+        example.cfg / kde_example.cfg), the grid fusion identity does not
+        apply — gather the probabilities to the stacked events instead and
+        take the per-event product, exactly like the unstacked unfused
+        branch (reference ``barr_simple.py:146`` apply semantics)."""
         from pisa_tpu.core.container import _rep_hash
 
         rep = container.representation
+        apply_h = _rep_hash(rep)
+        flux_valid_events = isinstance(rep, str) and container.validity.get(
+            "nu_flux", {}
+        ).get(apply_h, False)
+        if flux_valid_events:
+            nu_flux = container["nu_flux"]  # (C, n_pad, 2) per event
+            # reading prob_e/prob_mu in the events representation folds the
+            # (group-row x grid) -> stacked-events gather into ONE op
+            # (StackedContainer._stacked_binned_to_array; padded slots
+            # gather 0)
+            pe = container["prob_e"]
+            pm = container["prob_mu"]
+            container["weights"] = container["weights"] * (
+                nu_flux[..., 0] * pe + nu_flux[..., 1] * pm
+            )
+            return
         container.representation = self.calc_mode
         nu_flux = container["nu_flux"]  # (2, n, 2), rows = nubar group
         rows_flux = container.rows[("nu_flux", _rep_hash(self.calc_mode))]

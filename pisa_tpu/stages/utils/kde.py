@@ -95,6 +95,56 @@ class kde(Stage):  # noqa: N801
             dimensions, name=self.apply_mode.name
         )
 
+    # stacked-container support: the KDE math is a pure jnp map of
+    # (sample, weights) -> binned density (utils/kde.py), so the stacked
+    # (C, n_pad) event block evaluates as ONE vmap over the category axis —
+    # 12 per-category KDE chains collapse into one batched kernel. NaN
+    # padding slots carry exactly-zero weights, which the KDE already
+    # treats as absent (weight-zeroing channel selection + the w>0
+    # coordinate sanitization in adaptive_gaussian_kde). The host-side
+    # stash/bootstrap paths keep the per-container route.
+    def stacked_ok(self):
+        return not self.bootstrap and not self.stash_hists
+
+    def _apply_stacked(self, container):
+        import jax
+        import jax.numpy as jnp
+
+        from pisa_tpu.utils import kde as kde_hist_mod
+
+        container.representation = "events"
+        dims_log = [d.is_log for d in self.apply_mode]
+        cols = []
+        for dim, is_log in zip(self.regularized_apply_mode, dims_log):
+            vals = jnp.asarray(container[dim.name])  # (C, n_pad)
+            if is_log and self.linearize_log_dims:
+                vals = jnp.log(vals)
+            cols.append(vals)
+        sample = jnp.stack(cols, axis=-1)  # (C, n_pad, D)
+        weights = jnp.asarray(container["weights"])  # (C, n_pad)
+
+        kde_kwargs = dict(
+            binning=self.regularized_apply_mode,
+            bw_method=self.bw_method,
+            coszen_name=self.coszen_name,
+            coszen_reflection=self.coszen_reflection,
+            adaptive=self.adaptive,
+            alpha=self.alpha,
+            oversample=self.oversample,
+            stack_pid=self.stack_pid,
+        )
+
+        def one(s, w):
+            return kde_hist_mod.kde_histogramdd(
+                sample=s, weights=w, **kde_kwargs
+            )
+
+        kde_maps = jax.vmap(one)(sample, weights)  # (C,) + binning.shape
+        container.representation = self.apply_mode
+        container["weights"] = kde_maps.reshape(
+            container.n_cats, self.apply_mode.size
+        )
+
     def apply(self):
         # override: the KDE consumes actual event weights, no representation
         # auto-switch beforehand (cf. reference kde.py:139-152)
@@ -127,6 +177,9 @@ class kde(Stage):  # noqa: N801
             )
 
         for container in self.data:
+            if getattr(container, "is_stacked", False):
+                self._apply_stacked(container)
+                continue
             if self.stash_valid:
                 self.data.representation = self.apply_mode
                 container["weights"] = self.stashed_hists[

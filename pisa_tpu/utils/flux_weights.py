@@ -41,6 +41,7 @@ from pisa_tpu.utils.resources import find_resource
 __all__ = [
     "load_2d_honda_table",
     "load_2d_bartol_table",
+    "load_2d_hillas_table",
     "load_2d_table",
     "calculate_2d_flux_weights",
     "load_3d_honda_table",
@@ -49,6 +50,9 @@ __all__ = [
 ]
 
 PRIMARIES = ["numu", "numubar", "nue", "nuebar"]
+# Hillas-Gaisser H3a-style tables additionally carry prompt nutau columns
+# (the reference's "hg_taumode", ``flux_weights.py:46,59``)
+T_MODE_PRIMARIES = ["numu", "numubar", "nue", "nuebar", "nutau", "nutaubar"]
 
 
 class FluxTable2D:
@@ -88,7 +92,8 @@ def _read_table(flux_file):
     return flux
 
 
-def _build(flux, logenergy_knots, de_steps, name, enpow=1):
+def _build(flux, logenergy_knots, de_steps, name, enpow=1,
+           primaries=PRIMARIES):
     """Cumulative-integral splines per primary; bands ascending in coszen.
 
     `enpow`: power of E multiplied into the integrand ("spline works best if
@@ -96,9 +101,11 @@ def _build(flux, logenergy_knots, de_steps, name, enpow=1):
     evaluation divides it back out.
     """
     splines = {}
-    for prim in PRIMARIES:
-        # file blocks are cz-descending; czkeys ascend -0.95..0.95
-        bands = flux[prim][::-1]  # (20, n_E), ascending coszen
+    n_bands = None
+    for prim in primaries:
+        # file blocks are cz-descending; czkeys ascend
+        bands = flux[prim][::-1]  # (n_cz, n_E), ascending coszen
+        n_bands = bands.shape[0]
         # cumulative integral of flux*E^enpow over the table grid, 0 prepended
         cum = np.concatenate(
             [
@@ -108,11 +115,11 @@ def _build(flux, logenergy_knots, de_steps, name, enpow=1):
                 ),
             ],
             axis=1,
-        )  # (20, n_knots)
+        )  # (n_cz, n_knots)
         splines[prim] = CubicSpline(
             logenergy_knots, cum.T, axis=0, bc_type="not-a-knot"
         )
-    return FluxTable2D(splines, np.linspace(-1, 1, 21), name)
+    return FluxTable2D(splines, np.linspace(-1, 1, n_bands + 1), name)
 
 
 def load_2d_honda_table(flux_file, enpow=1):
@@ -139,15 +146,42 @@ def load_2d_bartol_table(flux_file, enpow=1):
     return _build(flux, logenergy_knots, steps, "bartol", enpow=enpow)
 
 
+def load_2d_hillas_table(flux_file, enpow=1):
+    """Hillas-Gaisser H3a-style table WITH prompt-nutau columns (the
+    reference's "hg_taumode" format, ``flux_weights.py:50-131``): columns
+    (energy, numu, numubar, nue, nuebar, nutau, nutaubar), 100 coszen
+    blocks (cz-descending like Honda; band edges ``linspace(-1, 1, 101)``),
+    100 log10-energy rows at 0.05 steps with cumulative-integral knots
+    ``linspace(1, 6, 101)``."""
+    if not isinstance(enpow, int):
+        raise TypeError("Energy power must be an integer")
+    table = np.genfromtxt(find_resource(flux_file), usecols=range(7))
+    mask = np.all(~np.isnan(table), axis=1)
+    table = table[mask].T
+    flux = dict(zip(["energy"] + T_MODE_PRIMARIES, table))
+    for key in flux:
+        flux[key] = np.array(np.split(flux[key], 100))
+    flux["energy"] = flux["energy"][0]
+    logenergy_knots = np.linspace(1.0, 6.0, 101)
+    return _build(
+        flux, logenergy_knots, 0.05, "hillas", enpow=enpow,
+        primaries=T_MODE_PRIMARIES,
+    )
+
+
 def load_2d_table(flux_file, enpow=1):
     """Dispatch by table family (cf. reference ``flux_weights.py:205``)."""
+    if "hillas" in flux_file or "h3a" in flux_file.lower():
+        return load_2d_hillas_table(flux_file, enpow=enpow)
     if "aa" not in flux_file:
         raise ValueError("Azimuth-averaged tables are expected")
     if "honda" in flux_file:
         return load_2d_honda_table(flux_file, enpow=enpow)
     if "bartol" in flux_file:
         return load_2d_bartol_table(flux_file, enpow=enpow)
-    raise ValueError("Flux file must be from the Honda or Bartol groups")
+    raise ValueError(
+        "Flux file must be from the Honda, Bartol or Hillas-Gaisser groups"
+    )
 
 
 def calculate_2d_flux_weights(
@@ -172,12 +206,18 @@ def calculate_2d_flux_weights(
 
     log_e = np.log10(true_energies)
     # step 1: d(cumulative)/d(logE) at every event, all cz bands at once
-    d = en_splines.derivative(1)(log_e)  # (N, 20)
+    d = en_splines.derivative(1)(log_e)  # (N, n_cz)
     n_cz = d.shape[-1]
-    # step 2: cumulative over coszen (knot spacing 0.1), 0 prepended
+    # step 2: cumulative over coszen (knot spacing 2/n_cz: 0.1 for the
+    # 20-band Honda/Bartol tables, 0.02 for the 100-band Hillas tables),
+    # 0 prepended
     int_vals = np.concatenate(
-        [np.zeros(log_e.shape + (1,)), np.cumsum(d, axis=-1) * 0.1], axis=-1
-    )  # (N, 21)
+        [
+            np.zeros(log_e.shape + (1,)),
+            np.cumsum(d, axis=-1) * (2.0 / n_cz),
+        ],
+        axis=-1,
+    )  # (N, n_cz + 1)
     cz_points = np.linspace(-1, 1, n_cz + 1)
     cz_spline = CubicSpline(
         cz_points, int_vals.T, axis=0, bc_type="not-a-knot"

@@ -231,3 +231,58 @@ def test_stacking_rejects_mixed_keys():
     cs.containers[1]["extra"] = np.ones(12, dtype=FTYPE)
     with pytest.raises(StackingError):
         build_stacked_set(cs, coord_keys=("x", "y"))
+
+
+# ---------------------------------------------------------------------------
+# events-calc-mode stacking (VERDICT r3 item 2): example.cfg (per-event
+# barr_simple flux + per-event prob3 apply) and the KDE pipeline must run as
+# ONE stacked trace with template AND gradient parity
+# ---------------------------------------------------------------------------
+
+def _events_mode_pair(cfg_path):
+    import os
+
+    ct_stacked = Pipeline(cfg_path).compile()
+    assert ct_stacked._trace_data is not ct_stacked.pipeline.data, (
+        f"{cfg_path} did not stack"
+    )
+    os.environ["PISA_TPU_STACK"] = "0"
+    try:
+        ct_ref = Pipeline(cfg_path).compile()
+    finally:
+        del os.environ["PISA_TPU_STACK"]
+    return ct_ref, ct_stacked
+
+
+@pytest.mark.parametrize(
+    "cfg", [
+        "settings/pipeline/example.cfg",
+        "settings/pipeline/kde_example.cfg",
+    ],
+)
+def test_events_mode_stacked_parity(cfg):
+    ct_ref, ct_stacked = _events_mode_pair(cfg)
+    v = np.clip(ct_ref.current_rescaled_values() + 0.05, 0.05, 0.95)
+    ref = {m.name: np.asarray(m.hist) for m in ct_ref.get_outputs(v)}
+    for m in ct_stacked.get_outputs(v):
+        np.testing.assert_allclose(np.asarray(m.hist), ref[m.name], **TOL)
+
+    data = ct_ref.get_outputs(v)
+    _, vg_ref = ct_ref.build_objective(data, "mod_chi2")
+    _, vg_st = ct_stacked.build_objective(data, "mod_chi2")
+    v2 = np.clip(v + 0.03, 0.05, 0.95)
+    val_ref, g_ref = vg_ref(v2)
+    val_st, g_st = vg_st(v2)
+    np.testing.assert_allclose(
+        float(val_st), float(val_ref),
+        rtol=1e-8 if FTYPE == np.float64 else 1e-4,
+    )
+    g_ref, g_st = np.asarray(g_ref), np.asarray(g_st)
+    assert np.all(np.isfinite(g_st)), (
+        "stacked gradient has non-finite entries (NaN-padding hygiene)"
+    )
+    scale = max(np.max(np.abs(g_ref)), 1e-30)
+    np.testing.assert_allclose(
+        g_st / scale, g_ref / scale,
+        atol=1e-6 if FTYPE == np.float64 else 1e-3,
+    )
