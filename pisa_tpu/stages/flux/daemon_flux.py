@@ -32,7 +32,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pisa_tpu import FTYPE, ureg
-from pisa_tpu.core.param import Param, ParamSet
+from pisa_tpu.core.param import Param, ParamSelector, ParamSet
 from pisa_tpu.core.stage import Stage
 from pisa_tpu.utils.daemonflux_native import (
     DAEMON_PARAM_NAMES,
@@ -88,7 +88,7 @@ class daemon_flux(Stage):  # noqa: N801
         # ParamSet.priors_penalty switch; daemon_params_len guards against
         # stray 'daemon_'-named params corrupting the penalty bookkeeping
         params = std_kwargs.get("params")
-        if isinstance(params, ParamSet):
+        if isinstance(params, (ParamSet, ParamSelector)):
             params.update(
                 Param(
                     name="daemon_chi2", value=0.0 * ureg.dimensionless,

@@ -19,6 +19,7 @@ from pisa_tpu.utils.resources import find_resource
 
 _HEAVY = {
     "IceCube_3y_neutrinos.cfg",
+    "IceCube_3y_neutrinos_daemon.cfg",
     "IceCube_3y_muons.cfg",
     "IceCube_3y_data.cfg",
 }

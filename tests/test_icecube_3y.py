@@ -85,3 +85,36 @@ def test_muon_and_data_pipelines():
     # the 3-year data sample holds ~40k events
     assert 1e4 < float(np.asarray(total.hist).sum()) < 1e5
     assert np.all(np.asarray(total.hist) >= 0)
+
+
+def test_daemon_pipeline_runs():
+    """Daemon-flux flagship variant (cf. reference
+    ``settings/pipeline/IceCube_3y_neutrinos_daemon.cfg`` and
+    ``pisa/stages/flux/daemon_flux.py``): 24 correlated daemon_* params via
+    the native traceable response model, with the daemon_chi2 covariance
+    penalty bookkeeping."""
+    from pisa_tpu import ureg
+
+    p = Pipeline("settings/pipeline/IceCube_3y_neutrinos_daemon.cfg")
+    out = p.get_outputs()
+    assert len(out) == 12
+    # 24 daemon + 3 osc + 3 aeff + 5 hypersurface free params
+    assert len(p.params.free) == 35
+    base = float(np.asarray(out["numu_cc"].hist).sum())
+    assert np.isfinite(base) and base > 0
+
+    # a low-energy pion-yield parameter must raise the numu rate; the
+    # correlated chi2 (identity correlations) must equal sum(v^2)
+    p.params["daemon_pi_31G"].value = 2.0 * ureg.dimensionless
+    out2 = p.get_outputs()
+    shifted = float(np.asarray(out2["numu_cc"].hist).sum())
+    assert shifted > base * 1.001
+    chi2 = float(p.params["daemon_chi2"].value.m_as("dimensionless"))
+    assert abs(chi2 - 4.0) < 1e-6
+
+    # a PeV-beam yield parameter has no support at DeepCore energies
+    p.params["daemon_pi_31G"].value = 0.0 * ureg.dimensionless
+    p.params["daemon_pi_2P"].value = 2.0 * ureg.dimensionless
+    out3 = p.get_outputs()
+    unshifted = float(np.asarray(out3["numu_cc"].hist).sum())
+    assert abs(unshifted - base) < 1e-3 * base
