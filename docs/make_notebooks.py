@@ -187,16 +187,204 @@ fig.tight_layout()"""),
 ]
 
 
+MCMC = [
+    ("md", """\
+# Bayesian posterior sampling (MCMC)
+
+The TPU-native counterpart of the reference's
+`pisa_examples/MCMC_example.ipynb`. The reference farms a serial `emcee`
+sampler out to a fork-server of llh processes over TCP sockets
+(`pisa/utils/llh_server.py`); here the affine-invariant stretch-move
+ensemble is NATIVE and vmapped — every walker's template is one row of a
+single batched device program, so one MCMC step costs one dispatch."""),
+    ("code", """\
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import numpy as np
+
+from pisa_tpu import ureg
+from pisa_tpu.analysis.bayesian import mcmc_sampling
+from pisa_tpu.analysis.gradient import CompiledDistribution
+from pisa_tpu.core.distribution_maker import DistributionMaker
+
+dm = DistributionMaker(["settings/pipeline/toy_fit_example.cfg"],
+                       label="toy")
+dm.params["theta23"].value = 42.0 * ureg.degree
+data = dm.get_outputs(return_sum=True)   # Asimov "data" at the truth
+dm.reset_free()
+print("free params:", dm.params.free.names)"""),
+    ("md", """\
+## Sample
+
+`mcmc_sampling` runs the whole ensemble inside one `lax.scan` — the chain
+below (16 walkers x 150 steps after burn-in) is a single compiled device
+program, not 2400 Python-loop likelihood calls."""),
+    ("code", """\
+ct = CompiledDistribution(dm)
+chain, logp, acceptance = mcmc_sampling(
+    ct, data, metric="llh", n_walkers=16, n_steps=150, n_burnin=50,
+    seed=7,
+)  # CPU-sized; raise walkers/steps on TPU
+print(f"chain shape {chain.shape} (steps, walkers, params)")
+print(f"acceptance fraction: {acceptance:.2f}")"""),
+    ("code", """\
+import matplotlib
+matplotlib.use("Agg")
+%matplotlib inline
+import matplotlib.pyplot as plt
+
+names = dm.params.free.names
+flat = np.asarray(chain).reshape(-1, chain.shape[-1])
+fig, axes = plt.subplots(1, len(names), figsize=(4 * len(names), 3.2))
+for i, (ax, name) in enumerate(zip(np.atleast_1d(axes), names)):
+    ax.hist(flat[:, i], bins=40, color="#3a7ca5")
+    ax.set_xlabel(f"{name} (rescaled [0,1])")
+    mean, std = flat[:, i].mean(), flat[:, i].std()
+    ax.set_title(f"{mean:.3f} ± {std:.3f}")
+fig.suptitle("marginal posteriors")
+fig.tight_layout()
+for i, name in enumerate(names):
+    print(f"  {name}: {flat[:, i].mean():.4f} ± {flat[:, i].std():.4f}")"""),
+]
+
+
+MULTIDET = [
+    ("md", """\
+# Multi-detector joint fit
+
+The TPU-native counterpart of the reference's
+`pisa_examples/Multi_detector_test.ipynb`: two detectors observe the same
+oscillation physics — `theta23`/`deltam31` are SHARED `Param` objects
+across both pipelines, while detector systematics stay independent (the
+`Detectors` container suffixes them `_detA`/`_detB`; cf. reference
+`pisa/core/detectors.py:224-234`)."""),
+    ("code", """\
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import tempfile
+from pathlib import Path
+
+from pisa_tpu import ureg
+from pisa_tpu.core.detectors import Detectors
+from pisa_tpu.utils.resources import find_resource
+
+tmpdir = tempfile.mkdtemp()
+
+def detector_config(det_name):
+    text = open(
+        find_resource("settings/pipeline/toy_fit_example.cfg")).read()
+    text = text.replace(
+        "name = neutrinos",
+        f"name = neutrinos\\ndetector_name = {det_name}")
+    path = Path(tmpdir) / f"{det_name}.cfg"
+    path.write_text(text)
+    return str(path)
+
+detectors = Detectors(
+    [detector_config("detA"), detector_config("detB")],
+    shared_params=["theta23", "deltam31", "theta13", "delta_index"],
+)
+print("joint free params:")
+for p in detectors.params.free:
+    print(f"  {p.name}")"""),
+    ("md", """\
+## Joint Asimov fit
+
+Fit the shared angle plus ONE per-detector systematic (`aeff_scale_detB`)
+against Asimov data generated at the truth. The gradient method
+differentiates through both compiled detector templates at once."""),
+    ("code", """\
+from pisa_tpu.analysis.analysis import Analysis
+
+for p in detectors.params.free:
+    if p.name not in ("theta23", "aeff_scale_detB"):
+        p.is_fixed = True
+
+detectors.params["theta23"].value = 42.0 * ureg.degree
+data = detectors.get_outputs(return_sum=True)
+detectors.params["theta23"].value = 44.0 * ureg.degree  # perturb
+
+result = Analysis().fit_recursively(
+    data, detectors, "mod_chi2", None, "gradient", {}, None)
+print(f"joint fit metric: {result.metric_val:.3g}")
+print(f"theta23 fit  = {result.params['theta23'].value}")
+print("theta23 truth = 42 degree")
+print(f"aeff_scale_detB fit = {result.params['aeff_scale_detB'].value}")"""),
+]
+
+
+VARBIN = [
+    ("md", """\
+# Variable binning
+
+The TPU-native counterpart of the reference's
+`pisa_examples/Variable_binning_example.ipynb`: a `VarBinning` output
+splits the events into mutually-exclusive selections (here two PID
+bands), each histogrammed under its OWN `MultiDimBinning` — e.g. a
+fine binning where the detector resolves well and a coarse one where it
+does not. `get_outputs()` returns one MapSet per selection."""),
+    ("code", """\
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import numpy as np
+
+from pisa_tpu.core.pipeline import Pipeline
+
+pipeline = Pipeline("settings/pipeline/varbin_example.cfg")
+outputs = pipeline.get_outputs()
+for i, mapset in enumerate(outputs):
+    shape = next(iter(mapset)).hist.shape
+    total = sum(float(np.asarray(m.hist).sum()) for m in mapset)
+    print(f"selection {i} ({mapset.name}): shape {shape},"
+          f" total {total:.5g}")"""),
+    ("code", """\
+import matplotlib
+matplotlib.use("Agg")
+%matplotlib inline
+import matplotlib.pyplot as plt
+
+fig, axes = plt.subplots(1, len(outputs), figsize=(9, 3.4))
+for ax, mapset in zip(np.atleast_1d(axes), outputs):
+    total = sum(np.asarray(m.hist) for m in mapset)
+    im = ax.imshow(total.T, origin="lower", aspect="auto", cmap="viridis")
+    ax.set_title(f"{mapset.name}: {total.shape}")
+    ax.set_xlabel("energy bin")
+    ax.set_ylabel("coszen bin")
+    fig.colorbar(im, ax=ax)
+fig.tight_layout()"""),
+    ("md", """\
+The two selections are mutually exclusive by construction — the pipeline
+validates the selection cuts at init (cf. reference
+`pipeline.py:685,714`) — so the same event can never be double-counted
+across MapSets."""),
+]
+
+
+ALL_NOTEBOOKS = (
+    ("oscillograms", OSC),
+    ("icecube_3y_fit", ICECUBE),
+    ("mcmc", MCMC),
+    ("multi_detector", MULTIDET),
+    ("variable_binning", VARBIN),
+)
+
+
 def main():
     import os
     import pathlib
 
-    outdir = pathlib.Path(
-        sys.argv[1] if len(sys.argv) > 1 else "examples/notebooks"
-    )
+    args = [a for a in sys.argv[1:]]
+    only = {a for a in args if not a.startswith("-") and "/" not in a}
+    outdirs = [a for a in args if "/" in a]
+    outdir = pathlib.Path(outdirs[0] if outdirs else "examples/notebooks")
     outdir.mkdir(parents=True, exist_ok=True)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    for name, cells in (("oscillograms", OSC), ("icecube_3y_fit", ICECUBE)):
+    todo = [
+        (name, cells)
+        for name, cells in ALL_NOTEBOOKS
+        if not only or name in only
+    ]
+    for name, cells in todo:
         nb = _nb(cells)
         print(f"executing {name}.ipynb ...", flush=True)
         client = NotebookClient(
