@@ -96,9 +96,9 @@ LANES = 128
 # measure 8 -> 1.103, 16 -> 1.217, 32 -> 1.207 ms/propagation
 # (2026-08-19, prepared-geometry scan probe): smaller blocks keep
 # per-block chains homogeneous so the dynamic layer bound trims more
-# padding (27.3% vs 28.2% of the dense layer-step rectangle). An earlier
-# vmapped-x32 sweep preferred 16; the sequential pattern dominates real
-# fits, so 8 is the default.
+# padding. Re-swept 2026-08-21 after the partition-of-unity restructure:
+# 8x2 0.618 vs 16x4 0.615 ms — a wash at 20% fewer executed layer steps
+# for 8x2 (299k vs 360k), so 8 stays the default.
 BLOCK_ROWS = int(_os.environ.get("PISA_TPU_OSC_BLOCK_ROWS", "8"))
 
 # Layer-loop unroll factor: the per-layer transition matrix T is
@@ -272,8 +272,6 @@ def _layer_T(pv, rho, dx, econ, picks):
     one_over_two_e = econ["one_over_two_e"]
     two_e = econ["two_e"]
     phase_s = econ["phase_s"]
-    tiny = econ["tiny"]
-    zeros = econ["zeros"]
     third = 1.0 / 3.0
 
     a = (0.5 * TWO_SQRT2_GF) * rho
@@ -298,8 +296,12 @@ def _layer_T(pv, rho, dx, econ, picks):
         jnp.maximum(jnp.maximum(h00 * h00, h11 * h11), h22 * h22),
         jnp.maximum(jnp.maximum(n01, n02), n12),
     )
-    scale = jnp.maximum(jnp.sqrt(scale2), tiny)
-    inv_s = 1.0 / scale
+    # one rsqrt replaces sqrt + divide (the floor guards exact-zero H,
+    # which cannot occur for nonzero mass splittings; 1e-36 stays normal
+    # in fp32 where tiny^2 = 1e-60 would flush to 0)
+    scale2 = jnp.maximum(scale2, jnp.asarray(1e-36, dtype=scale2.dtype))
+    inv_s = jax.lax.rsqrt(scale2)
+    scale = scale2 * inv_s
     inv_s2 = inv_s * inv_s
 
     real_product_a = (
@@ -368,45 +370,50 @@ def _layer_T(pv, rho, dx, econ, picks):
             C(g12.re * (a11 + b22), g12.im * (a11 + b22)) + x12,
         )
 
-    Pr0 = projector(m[1], m[2])
     Pr1 = projector(m[0], m[2])
     Pr2 = projector(m[0], m[1])
 
     d01 = m[0] - m[1]
     d02 = m[0] - m[2]
     d12 = m[1] - m[2]
-    inv0 = 1.0 / (d01 * d02)
-    inv1 = 1.0 / (d12 * (-d01))
-    inv2 = 1.0 / ((-d02) * (-d12))
+    # ONE reciprocal serves both spectral weights:
+    # inv1 = 1/((m1-m0)(m1-m2)) = -d02*r, inv2 = 1/((m2-m0)(m2-m1))
+    # = d01*r with r = 1/(d01*d02*d12).
+    r = 1.0 / (d01 * d02 * d12)
+    inv1 = -d02 * r
+    inv2 = d01 * r
 
     s = phase_s * dx
 
-    # only phase DIFFERENCES survive |.|^2 of the chain product (the
+    # Only phase DIFFERENCES survive |.|^2 of the chain product (the
     # per-layer global phase e^{i m0 s} factors out of T and the total
-    # product), so T is computed up to e^{i m0 s}: cp0 becomes REAL and
-    # only two complex phases (4 transcendentals, not 6) are needed.
+    # product), so T is computed up to e^{i m0 s}. The projectors form a
+    # partition of unity (Pr0*inv0 + Pr1*inv1 + Pr2*inv2 = I), so Barger
+    # eq. 10 collapses to
+    #   T = I + (e^{i ar1} - 1) inv1 Pr1 + (e^{i ar2} - 1) inv2 Pr2
+    # and Pr0 / its denominator are never formed (~1/3 of the projector
+    # and assembly work). Near-degenerate eigenvalues are SAFER in this
+    # form: (e^{i ar} - 1) vanishes linearly in the same eigenvalue
+    # difference the weight divides by.
     ar1 = -d01 * s  # (m1 - m0) s
     ar2 = -d02 * s  # (m2 - m0) s
-    cp1 = C(jnp.cos(ar1) * inv1, jnp.sin(ar1) * inv1)
-    cp2 = C(jnp.cos(ar2) * inv2, jnp.sin(ar2) * inv2)
+    c1 = C((jnp.cos(ar1) - 1.0) * inv1, jnp.sin(ar1) * inv1)
+    c2 = C((jnp.cos(ar2) - 1.0) * inv2, jnp.sin(ar2) * inv2)
 
-    def tsum(idx, conjugate=False):
-        a_, b_, c_ = Pr0[idx], Pr1[idx], Pr2[idx]
+    def tdiag(idx):
+        v = c1 * Pr1[idx] + c2 * Pr2[idx]
+        return C(v.re + 1.0, v.im)
+
+    def toffd(idx, conjugate=False):
+        b_, c_ = Pr1[idx], Pr2[idx]
         if conjugate:
-            a_, b_, c_ = (
-                a_.conj() if isinstance(a_, C) else a_,
-                b_.conj() if isinstance(b_, C) else b_,
-                c_.conj() if isinstance(c_, C) else c_,
-            )
-        first = a_ * inv0 if isinstance(a_, C) else C(
-            a_ * inv0, zeros
-        )
-        return first + cp1 * b_ + cp2 * c_
+            b_, c_ = b_.conj(), c_.conj()
+        return c1 * b_ + c2 * c_
 
     T = [
-        [tsum(0), tsum(3), tsum(4)],
-        [tsum(3, True), tsum(1), tsum(5)],
-        [tsum(4, True), tsum(5, True), tsum(2)],
+        [tdiag(0), toffd(3), toffd(4)],
+        [toffd(3, True), tdiag(1), toffd(5)],
+        [toffd(4, True), toffd(5, True), tdiag(2)],
     ]
     return T, dx > 0.0
 
