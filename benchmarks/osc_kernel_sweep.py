@@ -24,6 +24,17 @@ def main():
                     default=[4, 8, 16])
     ap.add_argument("--unroll", type=int, nargs="*", default=[1, 2, 4])
     args = ap.parse_args()
+    # monkeypatching pc.UNROLL/pc.BLOCK_ROWS bypasses the module's own
+    # import-time validation; an unsupported UNROLL would round the layer
+    # loop bound past the padded layer dim (OOB slab reads -> garbage
+    # timings printed as data)
+    bad = sorted(set(args.unroll) - {1, 2, 4})
+    if bad:
+        ap.error(f"--unroll values {bad} unsupported (must be 1, 2 or 4)")
+    bad = sorted(u for u in args.block_rows if u < 1 or u % 4)
+    if bad:
+        ap.error(f"--block-rows values {bad} unsupported (positive"
+                 " multiples of 4 required by the (8,128) fp32 tile)")
 
     import jax
     import jax.numpy as jnp

@@ -12,8 +12,6 @@ Usage: python docs/make_notebooks.py [outdir]
 
 from __future__ import annotations
 
-import sys
-
 import nbformat
 from nbclient import NotebookClient
 
@@ -370,13 +368,29 @@ ALL_NOTEBOOKS = (
 
 
 def main():
+    import argparse
     import os
     import pathlib
 
-    args = [a for a in sys.argv[1:]]
-    only = {a for a in args if not a.startswith("-") and "/" not in a}
-    outdirs = [a for a in args if "/" in a]
-    outdir = pathlib.Path(outdirs[0] if outdirs else "examples/notebooks")
+    known = [name for name, _ in ALL_NOTEBOOKS]
+    ap = argparse.ArgumentParser(
+        description="Execute and write the example notebooks."
+    )
+    ap.add_argument(
+        "notebooks", nargs="*", metavar="NOTEBOOK",
+        help=f"subset to build (default: all). Choices: {', '.join(known)}",
+    )
+    ap.add_argument(
+        "--outdir", default="examples/notebooks",
+        help="output directory (default: %(default)s)",
+    )
+    args = ap.parse_args()
+    unknown = sorted(set(args.notebooks) - set(known))
+    if unknown:
+        ap.error(f"unknown notebook name(s) {unknown};"
+                 f" choices: {', '.join(known)}")
+    only = set(args.notebooks)
+    outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     todo = [

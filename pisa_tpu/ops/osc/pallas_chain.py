@@ -392,23 +392,26 @@ def _layer_T(pv, rho, dx, econ, picks):
     # eq. 10 collapses to
     #   T = I + (e^{i ar1} - 1) inv1 Pr1 + (e^{i ar2} - 1) inv2 Pr2
     # and Pr0 / its denominator are never formed (~1/3 of the projector
-    # and assembly work). Near-degenerate eigenvalues are SAFER in this
-    # form: (e^{i ar} - 1) vanishes linearly in the same eigenvalue
-    # difference the weight divides by.
+    # and assembly work). Numerically this is no worse than the
+    # three-projector form: the (e^{i ar_k} - 1) factor additionally
+    # cancels the d0k divergence of its weight; the 1/d12 divergence at
+    # m1~m2 still relies on cross-term cancellation between the Pr1 and
+    # Pr2 terms, exactly as before.
     ar1 = -d01 * s  # (m1 - m0) s
     ar2 = -d02 * s  # (m2 - m0) s
-    c1 = C((jnp.cos(ar1) - 1.0) * inv1, jnp.sin(ar1) * inv1)
-    c2 = C((jnp.cos(ar2) - 1.0) * inv2, jnp.sin(ar2) * inv2)
+    # phase weights (w1/w2, NOT the char-poly coefficients c1/c2 above)
+    w1 = C((jnp.cos(ar1) - 1.0) * inv1, jnp.sin(ar1) * inv1)
+    w2 = C((jnp.cos(ar2) - 1.0) * inv2, jnp.sin(ar2) * inv2)
 
     def tdiag(idx):
-        v = c1 * Pr1[idx] + c2 * Pr2[idx]
+        v = w1 * Pr1[idx] + w2 * Pr2[idx]
         return C(v.re + 1.0, v.im)
 
     def toffd(idx, conjugate=False):
         b_, c_ = Pr1[idx], Pr2[idx]
         if conjugate:
             b_, c_ = b_.conj(), c_.conj()
-        return c1 * b_ + c2 * c_
+        return w1 * b_ + w2 * c_
 
     T = [
         [tdiag(0), toffd(3), toffd(4)],
