@@ -221,6 +221,17 @@ class CompiledDistribution:
         sum_fn = self._build_sum_fn()
         free_params = self._free_params
 
+        # daemonflux covariance switch (reference param.py:1388-1402)
+        from pisa_tpu.utils.daemonflux_native import compiled_daemon_penalty
+
+        daemon = (
+            compiled_daemon_penalty(
+                free_params, [t.pipeline for t in self.templates]
+            )
+            if priors else None
+        )
+        daemon_skip = daemon[0] if daemon is not None else frozenset()
+
         uses_variance = metric in (
             "mod_chi2",
             "correct_chi2",
@@ -248,9 +259,8 @@ class CompiledDistribution:
             if priors:
                 # recompute magnitudes for the prior penalties
                 penalty = 0.0
+                mags = []
                 for i, p in enumerate(free_params):
-                    if p.prior is None:
-                        continue
                     lo, hi = los[i], his[i]
                     if p.scales_as_log:
                         mag = (
@@ -262,6 +272,9 @@ class CompiledDistribution:
                         )
                     else:
                         mag = lo + (hi - lo) * vec[i]
+                    mags.append(mag)
+                    if p.prior is None or i in daemon_skip:
+                        continue
                     if p.prior.units is not None:
                         # unit conversion is a static factor: convert 1 unit
                         factor = Quantity(1.0, p.units).m_as(p.prior.units)
@@ -269,6 +282,9 @@ class CompiledDistribution:
                     else:
                         x = mag
                     llh = jnp.squeeze(p.prior.llh_jax(x))
+                    penalty = penalty + llh * (1.0 if maximize else -2.0)
+                if daemon is not None:
+                    llh = daemon[1](mags)
                     penalty = penalty + llh * (1.0 if maximize else -2.0)
                 total = total + penalty
 
@@ -401,6 +417,19 @@ class CompiledDetectors:
         free_params = self._free_params
         index_maps = self.index_maps
 
+        # daemonflux covariance switch (reference param.py:1388-1402);
+        # searched across all detectors' pipelines
+        from pisa_tpu.utils.daemonflux_native import compiled_daemon_penalty
+
+        daemon = (
+            compiled_daemon_penalty(
+                free_params,
+                [t.pipeline for cd in self._cds for t in cd.templates],
+            )
+            if priors else None
+        )
+        daemon_skip = daemon[0] if daemon is not None else frozenset()
+
         def objective(vec, los, his, datass=None):
             total = 0.0
             for d, (raw, idx) in enumerate(zip(raws, index_maps)):
@@ -408,9 +437,8 @@ class CompiledDetectors:
                 total = total + raw(vec[idx], los[idx], his[idx], datas)
             if priors:
                 penalty = 0.0
+                mags = []
                 for i, p in enumerate(free_params):
-                    if p.prior is None:
-                        continue
                     lo, hi = los[i], his[i]
                     if p.scales_as_log:
                         mag = jnp.exp(
@@ -419,11 +447,17 @@ class CompiledDetectors:
                         ) * lo
                     else:
                         mag = lo + (hi - lo) * vec[i]
+                    mags.append(mag)
+                    if p.prior is None or i in daemon_skip:
+                        continue
                     if p.prior.units is not None:
                         mag = mag * Quantity(1.0, p.units).m_as(
                             p.prior.units
                         )
                     llh = jnp.squeeze(p.prior.llh_jax(mag))
+                    penalty = penalty + llh * (1.0 if maximize else -2.0)
+                if daemon is not None:
+                    llh = daemon[1](mags)
                     penalty = penalty + llh * (1.0 if maximize else -2.0)
                 # raw objectives are already sign-flipped for minimization
                 total = total + (-penalty if maximize else penalty)

@@ -395,7 +395,7 @@ def _dedup_rows(arrays):
 
 
 def build_stacked_set(container_set, coord_keys=(), name=None,
-                      pad_multiple=1):
+                      pad_multiple=1, exclude_keys=()):
     """Build a ContainerSet holding ONE StackedContainer standing in for all
     containers of `container_set` (which is NOT mutated).
 
@@ -410,6 +410,10 @@ def build_stacked_set(container_set, coord_keys=(), name=None,
         (device-mesh size for sharded templates, so the stacked event axis
         partitions evenly; the extra slots follow the same NaN/0 padding
         rules and drop out of every reduction).
+    exclude_keys : collection of str
+        Keys omitted from the stacked copy (stages declare per-container
+        helper arrays that cannot pad-stack via
+        ``Stage.stacking_exclude_keys``).
 
     Raises
     ------
@@ -448,9 +452,12 @@ def build_stacked_set(container_set, coord_keys=(), name=None,
     sc._representations.update(reps)
 
     coord_keys = set(coord_keys)
+    exclude_keys = set(exclude_keys)
     first = containers[0]
 
     for key in first._data.keys():
+        if key in exclude_keys:
+            continue
         mode = first.translation_modes.get(key, None)
         if mode is not None:
             sc.translation_modes[key] = mode

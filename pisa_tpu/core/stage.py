@@ -103,6 +103,14 @@ class Stage:
         ContainerSet (e.g. cached one-hot histogram matrices), called by
         CompiledTemplate before tracing. Default: nothing."""
 
+    def stacking_exclude_keys(self):
+        """Container keys this stage wants OMITTED from the stacked copy —
+        per-container helper arrays whose leading axis is not the event
+        axis (e.g. prob3's point orderings / pre-blocked kernel geometry in
+        events calc mode), which cannot pad-stack and which the stacked
+        code path does not read. Default: none."""
+        return ()
+
     # -- params ---------------------------------------------------------------
     @property
     def params(self) -> ParamSet:

@@ -200,10 +200,13 @@ class CompiledTemplate:
                 unsupported,
             )
             return
+        exclude = set()
+        for s in self._traced_stages:
+            exclude.update(s.stacking_exclude_keys())
         try:
             self._trace_data = stacking.build_stacked_set(
                 self.pipeline.data, coord_keys=self._coord_keys(),
-                pad_multiple=pad_multiple,
+                pad_multiple=pad_multiple, exclude_keys=exclude,
             )
         except stacking.StackingError as exc:
             logging.info("stacking disabled: %s", exc)
@@ -590,6 +593,17 @@ class CompiledTemplate:
                 if p.prior is not None:
                     prior_list.append((p.prior, p.units))
 
+        # daemonflux covariance switch (reference param.py:1388-1402): the
+        # daemon_* params' penalty is ONE correlated chi2, not their
+        # individual priors
+        from pisa_tpu.utils.daemonflux_native import compiled_daemon_penalty
+
+        daemon = (
+            compiled_daemon_penalty(self._free_params, [self.pipeline])
+            if priors else None
+        )
+        daemon_skip = daemon[0] if daemon is not None else frozenset()
+
         rescale = self._rescale
         base_fn = self._build_fn()
 
@@ -633,7 +647,9 @@ class CompiledTemplate:
             # prior penalties, in the same metric family (llh or chi2 = -2llh)
             penalty = 0.0
             mags = self._magnitudes_from_rescaled(vec, los, his)
-            for p, mag in zip(self._free_params, mags):
+            for i, (p, mag) in enumerate(zip(self._free_params, mags)):
+                if i in daemon_skip:
+                    continue  # replaced by the correlated daemon chi2
                 if priors and p.prior is not None:
                     if p.prior.units is not None:
                         x = Quantity(mag, p.units).m_as(p.prior.units)
@@ -643,6 +659,9 @@ class CompiledTemplate:
                     penalty = penalty + jnp.squeeze(llh) * (
                         1.0 if maximize else -2.0
                     )
+            if daemon is not None:
+                llh = daemon[1](mags)
+                penalty = penalty + llh * (1.0 if maximize else -2.0)
             total = total + penalty
             return -total if maximize else total
 

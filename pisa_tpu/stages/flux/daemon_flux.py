@@ -18,11 +18,20 @@ Two execution paths:
   end-to-end, so daemon parameters get analytic gradients in compiled
   fits (the reference cannot differentiate through the package at all).
 
-With the default identity correlation matrix, the correlated chi2 equals
-the sum of the per-parameter unit-Gaussian prior penalties that the
-pipeline config declares, so compiled-template prior handling is exact;
-vendor a real correlation matrix via ``ParamSet.add_covariance`` for the
-rotated-basis treatment.
+Correlated penalty: the default correlation matrix is the VENDORED
+``resources/flux/daemonflux_correlations.json``, built from the exact
+diagonal of the calibrated inverse-correlation matrix that the reference
+repo publishes (its executed ``test_daemonflux_stage.ipynb`` prints the
+mod_chi2 penalty of every single-parameter +1 sigma pull, and for a
+one-hot pull ``chi2 = (C^-1)_{ii}``), completed off-diagonal with a
+single-factor model (``scripts/make_daemonflux_correlations.py``).
+Deviation bounds: one-hot pulls reproduce the reference's published
+penalties to <1e-9 relative; multi-parameter pulls use the factor-model
+off-diagonals (positive common-factor correlations with the exact
+published multiple correlations 0.37-0.9995), which is the maximum the
+public record pins down — the unpublished pairwise daemonflux
+covariances may differ in sign structure. Pass
+``correlations_file='identity'`` for the uncorrelated Sum v_i^2 penalty.
 """
 
 from __future__ import annotations
@@ -52,8 +61,14 @@ class daemon_flux(Stage):  # noqa: N801
     # shape-agnostic jnp with a per-category nubar sign
     supports_stacked = True
 
-    def __init__(self, correlations_file=None, calibration_file=None,
-                 **std_kwargs):
+    #: default vendored correlation matrix (diag(C^-1) pinned to the
+    #: reference's published single-pull penalties; see module docstring)
+    VENDORED_CORRELATIONS = "flux/daemonflux_correlations.json"
+
+    def __init__(self, correlations_file=VENDORED_CORRELATIONS,
+                 calibration_file=None, **std_kwargs):
+        if correlations_file == "identity":
+            correlations_file = None
         self.cal_file = calibration_file
         self.flux_obj = None  # real daemonflux.Flux when importable
         try:

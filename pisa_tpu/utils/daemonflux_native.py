@@ -22,8 +22,14 @@ module supplies the same machinery with an analytic response model:
   ``anti*`` variants act on the antineutrino channels, ``p/n`` and
   ``GSF_*`` on all channels;
 - correlated penalty: ``chi2(v) = v^T C^-1 v`` with C a correlation
-  matrix — identity by default; vendor a real one as JSON at
-  ``resources/flux/daemonflux_correlations.json`` ({name: {name: rho}}).
+  matrix. The VENDORED ``resources/flux/daemonflux_correlations.json``
+  (the flux stage's default) reproduces the exact published diagonal of
+  the calibrated inverse-correlation matrix — the reference repo's
+  executed ``test_daemonflux_stage.ipynb`` prints every single-parameter
+  +1 sigma mod_chi2 penalty, which for a one-hot pull IS ``(C^-1)_{ii}``
+  — with the off-diagonals completed by a single-factor model
+  (``scripts/make_daemonflux_correlations.py``). ``correlations=None``
+  falls back to identity (penalty = Sum v_i^2).
 
 The response SHAPES are an analytic stand-in, not the calibrated
 daemonflux gradients — install the real package for production physics.
@@ -43,7 +49,11 @@ import jax.numpy as jnp
 
 from pisa_tpu.utils.log import logging
 
-__all__ = ["DAEMON_PARAM_NAMES", "NativeDaemonFlux"]
+__all__ = [
+    "DAEMON_PARAM_NAMES",
+    "NativeDaemonFlux",
+    "compiled_daemon_penalty",
+]
 
 # PISA-config-compatible names (reference daemon_flux.py:180: pi+ -> pi,
 # pi- -> antipi, K+ -> K, K- -> antiK), without the 'daemon_' prefix.
@@ -80,6 +90,68 @@ def _pion_fraction(log10e):
     over above the pion critical energy)."""
     e = 10.0**log10e
     return 1.0 / (1.0 + e / 300.0)
+
+
+def compiled_daemon_penalty(free_params, pipelines):
+    """Compiled-objective analog of the eager ``ParamSet.priors_penalty``
+    daemonflux switch (reference ``param.py:1388-1402``): when a pipeline
+    carries a daemon_flux stage, the ``daemon_*`` parameters' penalty is
+    ONE correlated chi2 (``v^T C^-1 v``), not their individual priors.
+
+    Parameters
+    ----------
+    free_params : sequence of Param
+        The objective's free parameters, in vector order.
+    pipelines : iterable of Pipeline
+        Pipelines whose stages are searched for a daemon_flux stage.
+
+    Returns
+    -------
+    None when no daemon stage / no free daemon params; otherwise
+    ``(skip_indices, llh_fn)`` — the free-param indices whose individual
+    priors the objective must skip, and a traceable ``llh_fn(mags)``
+    mapping the full magnitude list to the joint daemon llh (-chi2/2).
+    Fixed daemon parameters contribute their compile-time values as
+    constants (matching the eager path, which uses current values).
+    """
+    stage = None
+    for pl in pipelines:
+        for s in getattr(pl, "stages", []):
+            if isinstance(getattr(s, "native", None), NativeDaemonFlux):
+                stage = s
+                break
+        if stage is not None:
+            break
+    if stage is None:
+        return None
+    idx = {p.name: i for i, p in enumerate(free_params)}
+    entries = []
+    for tag in stage.native.param_names:
+        pname = "daemon_" + tag
+        if pname in idx:
+            entries.append(("free", idx[pname]))
+        else:
+            prm = stage.params[pname]
+            entries.append(
+                ("fixed", float(prm.value.m_as("dimensionless")))
+            )
+    skip = frozenset(i for kind, i in entries if kind == "free")
+    if not skip:
+        return None
+    cinv = np.asarray(stage.native._cinv)
+
+    def llh_fn(mags):
+        v = jnp.stack(
+            [
+                mags[spec] if kind == "free"
+                else jnp.asarray(float(spec))
+                for kind, spec in entries
+            ]
+        )
+        chi2 = v @ jnp.asarray(cinv, dtype=v.dtype) @ v
+        return -0.5 * chi2
+
+    return skip, llh_fn
 
 
 class NativeDaemonFlux:
