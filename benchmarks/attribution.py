@@ -56,12 +56,18 @@ def main():
         file=sys.stderr,
     )
 
+    # label/truncate over the TRACED stage chain (free-param-independent
+    # prefix stages are hoisted out of the per-template program and do not
+    # contribute to its cost)
     stage_names = [
-        f"{s.stage_name}.{s.service_name}" for s in pipeline.stages
+        f"{s.stage_name}.{s.service_name}" for s in ct._traced_stages
     ]
 
     def truncated_fn(k):
-        stages = list(pipeline.stages)[:k]
+        # mirror CompiledTemplate._build_fn: run the TRACED (stacked)
+        # stage chain on the trace containers, truncated to the first k
+        # stages, and reduce whatever weights exist at that point
+        traced_stages = list(ct._traced_stages)
 
         def fn(vec, los, his, data):
             mags = ct._magnitudes_from_rescaled(vec, los, his)
@@ -69,6 +75,10 @@ def main():
             saved = [p._value for p in ct._free_params]
             for s in pipeline.stages:
                 s._trace_mode = True
+            swapped = ct._trace_data is not pipeline.data
+            if swapped:
+                for s in traced_stages:
+                    s.data = ct._trace_data
             try:
                 for (c, key, h), arr in zip(ct._data_slots, data):
                     if key is None:
@@ -77,10 +87,10 @@ def main():
                         c._data[key][h] = arr
                 for p, mag in zip(ct._free_params, mags):
                     p._value = Quantity(mag, p.units)
-                for s in stages:
+                for s in traced_stages[:k]:
                     s.run()
                 tot = jnp.zeros(())
-                for c in pipeline.data.containers:
+                for c in ct._trace_data.containers:
                     if "weights" in c.keys:
                         tot = tot + jnp.sum(
                             jnp.asarray(c["weights"])
@@ -91,6 +101,9 @@ def main():
                     p._value = v
                 for s in pipeline.stages:
                     s._trace_mode = False
+                if swapped:
+                    for s in traced_stages:
+                        s.data = pipeline.data
                 ct._restore(snapshot)
 
         return fn
@@ -104,7 +117,7 @@ def main():
     ks = (
         [int(x) for x in args.ks.split(",")]
         if args.ks
-        else list(range(1, len(pipeline.stages) + 1))
+        else list(range(1, len(ct._traced_stages) + 1))
     )
     rows = []
     for k in ks:

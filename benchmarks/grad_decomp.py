@@ -44,6 +44,16 @@ def main():
 
     pallas_chain.osc_probs_layers_pallas_fwdgrad_prepared = patched_prepared
 
+    orig_planar = pallas_chain.osc_probs_layers_pallas_fwdgrad_prepared_planar
+
+    def patched_planar(*a, **k):
+        out = orig_planar(*a, **k)
+        return jax.lax.stop_gradient(out) if stop_osc["on"] else out
+
+    pallas_chain.osc_probs_layers_pallas_fwdgrad_prepared_planar = (
+        patched_planar
+    )
+
     orig_barr = barr_simple._compute_stacked
 
     def patched_barr(self, container, params):

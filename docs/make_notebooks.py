@@ -243,6 +243,24 @@ fig.suptitle("marginal posteriors")
 fig.tight_layout()
 for i, name in enumerate(names):
     print(f"  {name}: {flat[:, i].mean():.4f} ± {flat[:, i].std():.4f}")"""),
+    ("md", """\
+## Chain diagnostics
+
+Walker traces should mix quickly around the truth (the Asimov data were
+generated at θ₂₃ = 42°, so the rescaled posterior should cover the
+corresponding rescaled value). The reference gets the same ensemble from
+`emcee` + its TCP llh-server farm; here the walker batch IS the device
+batch, so scaling walkers is free up to the chip's template throughput."""),
+    ("code", """\
+fig, ax = plt.subplots(figsize=(7, 3))
+for w in range(chain.shape[1]):
+    ax.plot(np.asarray(chain[:, w, 0]), lw=0.5, alpha=0.6)
+ax.set_xlabel("step (post burn-in)")
+ax.set_ylabel(f"{names[0]} (rescaled)")
+ax.set_title("walker traces")
+fig.tight_layout()
+print(f"per-walker std of final step: "
+      f"{np.asarray(chain)[-1, :, 0].std():.4f}")"""),
 ]
 
 
@@ -308,6 +326,25 @@ print(f"joint fit metric: {result.metric_val:.3g}")
 print(f"theta23 fit  = {result.params['theta23'].value}")
 print("theta23 truth = 42 degree")
 print(f"aeff_scale_detB fit = {result.params['aeff_scale_detB'].value}")"""),
+    ("md", """\
+## Shared-param identity
+
+Setting the shared angle once moves BOTH detectors' templates — the
+`Param` objects are literally the same across the two pipelines (the
+reference relies on the same aliasing invariant,
+`pisa/core/detectors.py:209-238`)."""),
+    ("code", """\
+import numpy as np
+
+detectors.params["theta23"].value = 40.0 * ureg.degree
+out40 = detectors.get_outputs(return_sum=False)
+detectors.params["theta23"].value = 45.0 * ureg.degree
+out45 = detectors.get_outputs(return_sum=False)
+for det, (a, b) in zip(("detA", "detB"), zip(out40, out45)):
+    ta = sum(float(np.asarray(m.hist).sum()) for m in a)
+    tb = sum(float(np.asarray(m.hist).sum()) for m in b)
+    print(f"{det}: total @40deg {ta:.2f} -> @45deg {tb:.2f}"
+          f"  (shift {(tb - ta) / ta:+.2%})")"""),
 ]
 
 
@@ -358,12 +395,254 @@ across MapSets."""),
 ]
 
 
+EVENT_INFO = [
+    ("md", """\
+# Event-wise information from a pipeline
+
+The TPU-native counterpart of the reference's
+`pisa_examples/event_info.ipynb`: run a pipeline WITHOUT the final
+histogramming stage and read the per-event arrays (weights, energies,
+flux factors, oscillation probabilities) straight off the shared
+`ContainerSet` — the event-level view of exactly the same computation
+that normally lands in binned templates.
+
+Every `Container` holds its variables simultaneously in an `events`
+representation and any number of binned representations, translated
+lazily on access (cf. reference `container.py:1-181`)."""),
+    ("code", """\
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import numpy as np
+
+from pisa_tpu.core.pipeline import Pipeline
+
+pipeline = Pipeline("settings/pipeline/example.cfg")
+print("stages:", [f"{s.stage_name}.{s.service_name}"
+                  for s in pipeline.stages])"""),
+    ("md", """\
+Drop the `utils.hist` stage (events → binned templates) so the pipeline
+stops at per-event weights, then run it."""),
+    ("code", """\
+pipeline.stages = [
+    s for s in pipeline.stages if s.service_name != "hist"
+]
+pipeline.run()
+containers = pipeline.data.containers
+print(f"{len(containers)} containers:",
+      [c.name for c in containers][:6], "...")"""),
+    ("code", """\
+nc = {c.name: c for c in containers}["numu_cc"]
+nc.representation = "events"
+print("per-event keys:", sorted(nc.keys)[:10], "...")
+for key in ("true_energy", "true_coszen", "weights",
+            "prob_e", "prob_mu"):
+    arr = np.asarray(nc[key])
+    print(f"{key:13s} shape {arr.shape}  "
+          f"[{arr.min():.4g}, {arr.max():.4g}]")"""),
+    ("md", """\
+The weights at this point carry flux x oscillation x effective-area
+factors per event. Histogram them manually to confirm they reproduce the
+pipeline's binned output."""),
+    ("code", """\
+import matplotlib
+matplotlib.use("Agg")
+%matplotlib inline
+import matplotlib.pyplot as plt
+
+e = np.asarray(nc["true_energy"])
+w = np.asarray(nc["weights"])
+fig, ax = plt.subplots(figsize=(6.5, 3.6))
+bins = np.logspace(0, 2, 25)
+ax.hist(e, bins=bins, weights=w, histtype="step", lw=2,
+        label=r"$\\nu_\\mu$ CC (weighted)")
+ax.hist(e, bins=bins, histtype="step", lw=1.2, ls="--",
+        label="raw MC counts")
+ax.set_xscale("log")
+ax.set_xlabel("true energy [GeV]")
+ax.set_ylabel("events / bin")
+ax.legend()
+fig.tight_layout()
+print(f"sum of weights: {w.sum():.5g} over {w.size} events")"""),
+]
+
+
+PISA_MODES = [
+    ("md", """\
+# Stage calc/apply modes
+
+The TPU-native counterpart of the reference's
+`pisa_examples/pisa_modes.ipynb`: every stage has a `calc_mode`
+(representation its physics is computed in) and an `apply_mode`
+(representation its weight modification is applied in). The same
+pipeline can compute oscillations on a coarse grid that events look up
+('mixed', the fast production shape) or per event ('events', exact but
+most work).
+
+The auto-generated service support matrix lives at
+`artifacts/ci/service_matrix.md` (the analog of the reference's
+`test_services.py` table)."""),
+    ("code", """\
+import time
+
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import numpy as np
+
+from pisa_tpu.config.parser import parse_pipeline_config
+from pisa_tpu.core.pipeline import Pipeline
+
+mixed = Pipeline("settings/pipeline/fast_example.cfg")
+
+cfg = parse_pipeline_config("settings/pipeline/fast_example.cfg")
+cfg[("osc", "prob3")]["calc_mode"] = "events"  # osc.prob3 per event
+cfg[("osc", "prob3")]["apply_mode"] = "events"
+events = Pipeline(cfg)
+print("mixed osc calc_mode:", mixed.stages[2].calc_mode.names)
+print("events osc calc_mode:", events.stages[2].calc_mode)"""),
+    ("code", """\
+t0 = time.time(); ms_mixed = mixed.get_outputs()
+t_mixed = time.time() - t0
+t0 = time.time(); ms_events = events.get_outputs()
+t_events = time.time() - t0
+print(f"mixed (grid-calc osc):  {t_mixed:.2f}s")
+print(f"events (per-event osc): {t_events:.2f}s")"""),
+    ("md", """\
+The grid-calc template approximates each event's oscillation probability
+by its grid cell average; per-event calc is exact. Compare the binned
+totals:"""),
+    ("code", """\
+for m in ms_mixed:
+    a = float(np.asarray(m.hist).sum())
+    b = float(np.asarray(ms_events[m.name].hist).sum())
+    if a > 0:
+        print(f"{m.name:14s} grid {a:9.4f}  events {b:9.4f}  "
+              f"ratio {b / a:.4f}")"""),
+    ("md", """\
+## Compiled per-event-oscillation templates
+
+Both modes compile to ONE jitted template program — the per-event osc
+pipeline stacks its 12 flavor categories into a single category-axis
+trace (two fixed-nubar-sign propagations over the stacked event axis)
+rather than tracing 12 separate chains."""),
+    ("code", """\
+ct = events.compile()
+print("stacked:", ct._trace_data is not ct.pipeline.data)
+v0 = ct.current_rescaled_values()
+ct.get_outputs(v0)  # compile
+t0 = time.time()
+reps = 5
+np.asarray(ct.scan_totals(np.tile(v0, (reps, 1))))
+print(f"compiled per-event-osc template:"
+      f" {(time.time() - t0) / reps * 1e3:.1f} ms/template"
+      f" (CPU backend)")"""),
+]
+
+
+DAEMONFLUX = [
+    ("md", """\
+# DAEMONFLUX stage
+
+The TPU-native counterpart of the reference's
+`pisa_examples/test_daemonflux_stage.ipynb`: the daemonflux calibrated
+atmospheric flux (arXiv:2303.00022) with 24 correlated `daemon_*`
+parameters and a single covariance chi2 penalty replacing their
+individual priors (reference `param.py:1388`).
+
+Here the stage runs its NATIVE traceable response model (the external
+`daemonflux` package is not installed), with the VENDORED correlation
+matrix whose inverse diagonal reproduces the reference's published
+single-pull penalties exactly — see
+`scripts/make_daemonflux_correlations.py` for the derivation."""),
+    ("code", """\
+import jax
+jax.config.update("jax_platforms", "cpu")  # deterministic CPU outputs
+import numpy as np
+
+from pisa_tpu.core.pipeline import Pipeline
+from pisa_tpu import ureg
+
+model = Pipeline("settings/pipeline/IceCube_3y_neutrinos_daemon.cfg")
+daemon_names = [p.name for p in model.params
+                if p.name.startswith("daemon_")
+                and p.name not in ("daemon_chi2", "daemon_params_len")]
+print(f"{len(daemon_names)} daemon params; "
+      f"{len(model.params.free)} free params total")"""),
+    ("md", """\
+## Penalty term with covariance
+
+Pull single parameters by +1 sigma and read back the correlated chi2
+penalty (through `ParamSet.priors_penalty`, which switches all
+`daemon_*` params to the one covariance chi2). The printed reference
+values are the penalties the reference repo itself publishes in its
+executed `test_daemonflux_stage.ipynb` — they match because the
+vendored correlation matrix is constructed from them."""),
+    ("code", """\
+PUBLISHED = {  # reference notebook outputs (mod_chi2, +1 sigma pulls)
+    "daemon_K_158G": 20.669470253081645,
+    "daemon_antiK_2P": 1031.85177816583,
+    "daemon_pi_20T": 502.47445811353646,
+    "daemon_pi_31G": 4.444786009326376,
+    "daemon_GSF_1": 16.409186227794525,
+    "daemon_GSF_4": 1.1634572364445062,
+}
+model.reset_free()
+model.get_outputs()
+for name, ref_val in PUBLISHED.items():
+    model.reset_free()
+    model.params[name].value = 1.0 * ureg.dimensionless
+    model.get_outputs()  # recomputes daemon_chi2
+    pen = float(model.params.priors_penalty("mod_chi2"))
+    print(f"pulling {name:18s} by +1 sigma -> penalty ="
+          f" {pen:12.6f}   (reference: {ref_val:.6f})")"""),
+    ("md", """\
+Without the covariance term each pull would cost exactly 1.0 (one unit
+Gaussian at 1 sigma); the calibrated penalties range from ~1.2 to ~1032
+because the daemonflux parameters are strongly constrained by their
+correlations with the rest of the calibration."""),
+    ("code", """\
+from pisa_tpu.utils.daemonflux_native import (
+    DAEMON_PARAM_NAMES, NativeDaemonFlux,
+)
+import matplotlib
+matplotlib.use("Agg")
+%matplotlib inline
+import matplotlib.pyplot as plt
+
+native = NativeDaemonFlux(
+    correlations="flux/daemonflux_correlations.json")
+log10e = np.linspace(-0.5, 4, 300)
+values = {n: 0.0 for n in DAEMON_PARAM_NAMES}
+fig, ax = plt.subplots(figsize=(6.8, 3.8))
+for pulled in ("pi_31G", "K_158G", "pi_20T", "GSF_3"):
+    v = dict(values); v[pulled] = 1.0
+    mod_e, mod_mu = native.modification(log10e, 1, v)
+    ax.plot(10.0 ** log10e, np.asarray(mod_mu),
+            label=f"{pulled} +1$\\sigma$")
+ax.set_xscale("log")
+ax.axhline(1.0, color="k", lw=0.6)
+ax.set_xlabel("neutrino energy [GeV]")
+ax.set_ylabel(r"$\\nu_\\mu$ flux modification")
+ax.legend(fontsize=8)
+fig.tight_layout()
+print("native response model: analytic log-normal kernels"
+      " (stand-in shapes; calibrated gradients need the real package)")"""),
+    ("md", """\
+Inside a COMPILED template the same correlated chi2 is applied by the
+objective builders (`CompiledTemplate`/`CompiledDistribution`), and the
+daemon parameters get analytic gradients end-to-end — the reference
+cannot differentiate through the daemonflux package at all."""),
+]
+
+
 ALL_NOTEBOOKS = (
     ("oscillograms", OSC),
     ("icecube_3y_fit", ICECUBE),
     ("mcmc", MCMC),
     ("multi_detector", MULTIDET),
     ("variable_binning", VARBIN),
+    ("event_info", EVENT_INFO),
+    ("pisa_modes", PISA_MODES),
+    ("daemonflux_stage", DAEMONFLUX),
 )
 
 

@@ -242,7 +242,16 @@ class StackedContainer(Container):
 
     def _stacked_binned_to_array(self, values, rows, src_binning):
         """'average'-mode binned -> events: per-category gather with the
-        rows indirection folded into one flat gather."""
+        rows indirection folded into one flat gather.
+
+        The gather's reverse-mode transpose is XLA's scatter-add of the
+        event cotangents into the grid cells. A sorted-cumsum segment
+        reduction (static permutation + prefix sum + boundary differences)
+        was prototyped as a scatter-free replacement and MEASURED SLOWER on
+        TPU v5e at flagship shapes — 5.0 ms (jnp.cumsum/reduce_window) and
+        5.4 ms (associative_scan ladder) vs 1.5 ms for the native scatter
+        transpose (artifacts/grad_decomp_r05_{staticgather,ascan}.log) — so
+        the plain gather stays."""
         idx = self._events_flat_indices(src_binning)
         size = src_binning.size
         invalid = idx >= size

@@ -719,8 +719,19 @@ def prepare_chain_geometry(energy, densities, distances, order=None):
     return geom
 
 
-def _launch_primal(pvec, e2, dens, dist, nl_blocks, n, *, interpret, raw):
-    """pallas_call of the primal kernel over pre-blocked inputs."""
+def _launch_primal(pvec, e2, dens, dist, nl_blocks, n, *, interpret, raw,
+                   planar=False):
+    """pallas_call of the primal kernel over pre-blocked inputs.
+
+    ``planar=True`` returns the kernel output as-is, reshaped to
+    ``(2, 3, n_pad)`` — (initial state, final flavor, sorted padded
+    points) with the POINT axis last (lane-aligned). The default
+    ``(N, 2, 3)`` form forces a relayout whose 2x3 trailing dims tile-pad
+    to (8, 128) on TPU (~170x wasted lanes on every downstream op;
+    measured 1.3 ms of epilogue + 1.6 ms of projection work per flagship
+    template against ~0.53 ms for the two kernel launches themselves —
+    artifacts/osc_stage_tail_r05.log). Planar consumers index channels
+    first and keep N on the lanes throughout."""
     dtype = e2.dtype
     rows = e2.shape[0]
     n_layers = dens.shape[0]
@@ -758,6 +769,8 @@ def _launch_primal(pvec, e2, dens, dist, nl_blocks, n, *, interpret, raw):
         interpret=interpret,
     )(pvec, nl_blocks, e2, dens, dist)
 
+    if planar:
+        return out.reshape(2, 3, n_pad)
     # (2, 3, rows, LANES) -> (N, 2, 3); the kernel propagates only the
     # nu_e / nu_mu initial states — the tau row follows exactly from
     # double stochasticity of |unitary|^2 (column sums are 1)
@@ -828,8 +841,10 @@ def chain_tangent_pallas(
 
 
 def _launch_tangent(pvec, dpvec, e2, dens, dist, nl_blocks, n, *,
-                    interpret=False):
-    """pallas_call of the tangent kernel over pre-blocked inputs."""
+                    interpret=False, planar=False):
+    """pallas_call of the tangent kernel over pre-blocked inputs.
+    ``planar=True`` keeps the kernel's (2, 3, n_pad) channel-first layout
+    (see :func:`_launch_primal`)."""
     dtype = e2.dtype
     rows = e2.shape[0]
     n_layers = dens.shape[0]
@@ -865,6 +880,8 @@ def _launch_tangent(pvec, dpvec, e2, dens, dist, nl_blocks, n, *,
         ),
         interpret=interpret,
     )(pvec, dpvec, nl_blocks, e2, dens, dist)
+    if planar:
+        return dout.reshape(2, 3, n_pad)
     return dout.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
 
 
@@ -897,10 +914,12 @@ def _chain_multitangent_kernel(
 
 
 def _launch_multitangent(pvec, dpvecs, e2, dens, dist, nl_blocks, n, *,
-                         interpret=False):
+                         interpret=False, planar=False):
     """pallas_call of the shared-primal multitangent kernel over
     pre-blocked inputs. ``dpvecs``: (K, 57). Returns (p2, dp2) raw
-    (pre-tau-row) outputs of shapes (N, 2, 3) and (K, N, 2, 3)."""
+    (pre-tau-row) outputs of shapes (N, 2, 3) and (K, N, 2, 3), or the
+    channel-first (2, 3, n_pad) / (K, 2, 3, n_pad) forms with
+    ``planar=True`` (see :func:`_launch_primal`)."""
     dtype = e2.dtype
     rows = e2.shape[0]
     n_layers = dens.shape[0]
@@ -954,6 +973,11 @@ def _launch_multitangent(pvec, dpvecs, e2, dens, dist, nl_blocks, n, *,
         ),
         interpret=interpret,
     )(pvec, dpvecs, nl_blocks, e2, dens, dist)
+    if planar:
+        return (
+            out.reshape(2, 3, n_pad),
+            dout.reshape(k_tangents, 2, 3, n_pad),
+        )
     p2 = out.reshape(2, 3, n_pad).transpose(2, 0, 1)[:n]
     dp2 = dout.reshape(k_tangents, 2, 3, n_pad).transpose(0, 3, 1, 2)[:, :n]
     return p2, dp2
@@ -1298,6 +1322,110 @@ def _fwdgrad_prep_bwd(nubar, reparam, nlo_factor, interpret, n, active,
 
 
 _probs_pallas_fwdgrad_prep.defvjp(_fwdgrad_prep_fwd, _fwdgrad_prep_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _probs_pallas_fwdgrad_prep_planar(
+    nubar, reparam, nlo_factor, interpret, n, active, theta, geom
+):
+    pvec = _theta_to_pvec(theta, reparam, nubar, nlo_factor,
+                          geom["e2"].dtype)
+    planar = _launch_primal(
+        pvec, geom["e2"], geom["dens"], geom["dist"], geom["nl"], n,
+        interpret=interpret, raw=True, planar=True,
+    )
+    if "inv" in geom:
+        planar = planar[:, :, :n][..., geom["inv"]]
+    else:
+        planar = planar[:, :, :n]
+    return planar
+
+
+def _fwdgrad_prep_planar_fwd(nubar, reparam, nlo_factor, interpret, n,
+                             active, theta, geom):
+    return (
+        _probs_pallas_fwdgrad_prep_planar(
+            nubar, reparam, nlo_factor, interpret, n, active, theta, geom
+        ),
+        (theta, geom),
+    )
+
+
+def _fwdgrad_prep_planar_bwd(nubar, reparam, nlo_factor, interpret, n,
+                             active, res, g):
+    """Planar cotangent (2, 3, n): no tau-epilogue linearization (the
+    planar form carries only the e/mu initial-state rows) and every
+    contraction stays channel-first with the point axis on the lanes."""
+    theta, geom = res
+    # undo the unsort: g over original point order -> sorted order
+    g_s = g[..., geom["order"]] if "order" in geom else g
+
+    def theta_to_pvec(th):
+        return _theta_to_pvec(th, reparam, nubar, nlo_factor,
+                              geom["e2"].dtype)
+
+    pvec = theta_to_pvec(theta)
+    k_dim = theta.shape[0]
+    ks = list(range(k_dim)) if active is None else list(active)
+    grads = {}
+    if ks:
+        jac = jax.jacfwd(theta_to_pvec)(theta)  # (1, 57, k_dim)
+        multi = _os.environ.get("PISA_TPU_OSC_MULTITANGENT", "0") in (
+            "1", "on", "true", "yes"
+        )
+        if multi and len(ks) > 1:
+            # shared-primal launch: the per-layer eigensolve is linearized
+            # once and the linear map applied to all K tangents. Neutral
+            # pre-planar (the per-tangent tau-epilogue jvps and (N, 3, 3)
+            # relayouts swamped the savings); re-tuned under the planar
+            # layout via PISA_TPU_OSC_MULTITANGENT=1.
+            dpvecs = jnp.concatenate([jac[..., k] for k in ks], axis=0)
+            _, dps = _launch_multitangent(
+                pvec, dpvecs, geom["e2"], geom["dens"], geom["dist"],
+                geom["nl"], n, interpret=interpret, planar=True,
+            )
+            for i, k in enumerate(ks):
+                grads[k] = jnp.sum(g_s * dps[i][:, :, :n])
+        else:
+            for k in ks:
+                dp = _launch_tangent(
+                    pvec, jac[..., k], geom["e2"], geom["dens"],
+                    geom["dist"], geom["nl"], n, interpret=interpret,
+                    planar=True,
+                )
+                grads[k] = jnp.sum(g_s * dp[:, :, :n])
+    zero = jnp.zeros((), theta.dtype)
+    dtheta = jnp.stack(
+        [grads.get(k, zero) for k in range(k_dim)]
+    ).astype(theta.dtype)
+    return dtheta, {k: _zero_cot(v) for k, v in geom.items()}
+
+
+_probs_pallas_fwdgrad_prep_planar.defvjp(
+    _fwdgrad_prep_planar_fwd, _fwdgrad_prep_planar_bwd
+)
+
+
+def osc_probs_layers_pallas_fwdgrad_prepared_planar(
+    theta, nubar, geom, n, reparam=False, nlo_factor=1.0, interpret=False,
+    active=None,
+):
+    """Planar-layout variant of
+    :func:`osc_probs_layers_pallas_fwdgrad_prepared`: returns
+    ``(2, 3, n)`` — (initial state e/mu, final flavor, point) — keeping
+    the POINT axis on the TPU lanes end-to-end. The (N, 3, 3) form's 3x3
+    trailing dims tile-pad to (8, 128), and the resulting relayouts cost
+    ~3 ms/template against ~0.5 ms of kernel time at flagship shapes
+    (artifacts/osc_stage_tail_r05.log); consumers that only need
+    P(e->f)/P(mu->f) rows (the rate fusion) read them as planar[0] /
+    planar[1] with no transpose at all. The tau-initial row (never needed
+    for rates — the atmospheric flux has no tau component) follows from
+    double stochasticity if required."""
+    return _probs_pallas_fwdgrad_prep_planar(
+        int(nubar), bool(reparam), float(nlo_factor), bool(interpret),
+        int(n), None if active is None else tuple(int(i) for i in active),
+        jnp.asarray(theta), geom,
+    )
 
 
 def osc_probs_layers_pallas_fwdgrad_prepared(

@@ -461,6 +461,17 @@ class prob3(Stage):  # noqa: N801
         stacked = any(
             getattr(c, "is_stacked", False) for c in self.data.containers
         )
+        if stacked and not self.is_map:
+            # stacked containers, PER-EVENT calc: every (category, event)
+            # slot is propagated with its category's nubar sign — two
+            # fixed-sign kernel launches over the category-partitioned
+            # stacked event axis, the same total work as the unstacked
+            # per-container path but ONE trace
+            for container in self.data:
+                self._compute_stacked_events(
+                    container, dm, mix, mat_pot, mat_decay, lri_pot,
+                )
+            return
         if stacked:
             # stacked containers (grid calc): one propagation per nubar sign
             # — exactly the linked path's work — stacked into a 2-row
@@ -468,6 +479,41 @@ class prob3(Stage):  # noqa: N801
             # (nubar-group x final flavor) mapped onto the categories by a
             # rows index instead of 12 per-container slices
             for container in self.data:
+                grp = (
+                    np.asarray(container.cat_aux("nubar")) < 0
+                ).astype(np.int32)
+                flav_arr = np.asarray(
+                    container.cat_aux("flav"), dtype=np.int32
+                )
+                rows_pf = grp * 3 + flav_arr
+                if use_fwdgrad and "osc_blk_e2" in container:
+                    # PLANAR fast path: the kernel's (init, final, point)
+                    # channel-first output feeds the P(e->f)/P(mu->f)
+                    # rate rows with ZERO transposes — the (N, 3, 3)
+                    # layout's 3x3 trailing dims tile-pad to (8, 128) on
+                    # TPU and its relayouts cost ~3 ms/template vs
+                    # ~0.5 ms of kernel time (osc_stage_tail_probe)
+                    pls = [
+                        self._propagate_planar(container, sign, theta_vec)
+                        for sign in (1, -1)
+                    ]
+                    pe = jnp.concatenate([p[0] for p in pls], axis=0)
+                    pm = jnp.concatenate([p[1] for p in pls], axis=0)
+                    container.set_stacked("prob_e", pe, rows=rows_pf)
+                    container.set_stacked("prob_mu", pm, rows=rows_pf)
+                    # full 3x3 probability (tau-initial row from double
+                    # stochasticity): built transposed for API parity,
+                    # dead-code-eliminated by XLA unless actually read
+                    full = []
+                    for p in pls:
+                        tau = jnp.maximum(1.0 - p[0] - p[1], 0.0)
+                        full.append(
+                            jnp.stack([p[0], p[1], tau]).transpose(2, 0, 1)
+                        )
+                    container.set_stacked(
+                        "probability", jnp.stack(full), rows=grp
+                    )
+                    continue
                 p_nu = self._propagate(
                     container, 1, dm, mix, mat_pot, mat_decay, lri_pot,
                     theta_vec, use_fwdgrad, pallas_mode,
@@ -477,12 +523,6 @@ class prob3(Stage):  # noqa: N801
                     theta_vec, use_fwdgrad, pallas_mode,
                 )
                 probability = jnp.stack([p_nu, p_nub])  # (2, n, 3, 3)
-                grp = (
-                    np.asarray(container.cat_aux("nubar")) < 0
-                ).astype(np.int32)
-                flav_arr = np.asarray(
-                    container.cat_aux("flav"), dtype=np.int32
-                )
                 container.set_stacked("probability", probability, rows=grp)
                 # (group, final flavor) rows: P(e->f), P(mu->f)
                 pe = jnp.moveaxis(probability[:, :, 0, :], -1, 1).reshape(
@@ -491,7 +531,6 @@ class prob3(Stage):  # noqa: N801
                 pm = jnp.moveaxis(probability[:, :, 1, :], -1, 1).reshape(
                     6, -1
                 )
-                rows_pf = grp * 3 + flav_arr
                 container.set_stacked("prob_e", pe, rows=rows_pf)
                 container.set_stacked("prob_mu", pm, rows=rows_pf)
             return
@@ -619,12 +658,115 @@ class prob3(Stage):  # noqa: N801
         )
 
     # stacked-container support: grid calc + events apply (the flagship
-    # shape); the probabilities live on the shared grid as (group x flavor)
-    # rows and translate to the stacked events via one batched gather
+    # shape), where the probabilities live on the shared grid as
+    # (group x flavor) rows and translate to the stacked events via one
+    # batched gather; OR per-event calc (calc_mode=events, a first-class
+    # reference mode — reference ``prob3.py:452`` runs any representation),
+    # where each stacked (category, event) slot is propagated directly with
+    # its category's nubar sign (two fixed-sign kernel launches over the
+    # category-partitioned event axis)
     def stacked_ok(self):
-        return self.is_map and not isinstance(
+        return (self.is_map or self.calc_mode == "events") and not isinstance(
             self.apply_mode, MultiDimBinning
         )
+
+    def stacking_exclude_keys(self):
+        # events-calc helper arrays whose leading axis is NOT the event
+        # axis (point orderings, compacted slot indices, pre-blocked Pallas
+        # geometry) cannot pad-stack; the stacked events path runs the
+        # plain XLA formulation and never reads them
+        if self.is_map:
+            return ()
+        return (
+            "layer_chain_order", "layer_slot_index", "layer_chain_map",
+            "osc_blk_e2", "osc_blk_dens", "osc_blk_dist", "osc_blk_nl",
+            "osc_blk_order", "osc_blk_inv",
+        )
+
+    def _propagate_planar(self, container, nubar, theta_vec):
+        """One planar-layout propagation over the pre-blocked geometry:
+        returns ``(2, 3, n)`` — (initial state e/mu, final flavor, point)
+        with the point axis on the TPU lanes (see
+        ``pallas_chain.osc_probs_layers_pallas_fwdgrad_prepared_planar``)."""
+        from pisa_tpu.ops.osc.pallas_chain import (
+            osc_probs_layers_pallas_fwdgrad_prepared_planar,
+        )
+
+        geom = {
+            gk: jnp.asarray(container[f"osc_blk_{gk}"])
+            for gk in ("e2", "dens", "dist", "nl", "order", "inv")
+            if f"osc_blk_{gk}" in container
+        }
+        active = tuple(
+            i
+            for i, prm in enumerate(
+                (
+                    self.params.theta12,
+                    self.params.theta13,
+                    self.params.theta23,
+                    self.params.deltacp,
+                    self.params.deltam21,
+                    self.params.deltam31,
+                )
+            )
+            if not prm.is_fixed
+        )
+        from pisa_tpu.ops.osc.kernels import _pallas_mode
+
+        return osc_probs_layers_pallas_fwdgrad_prepared_planar(
+            theta_vec,
+            nubar,
+            geom,
+            n=container.size,
+            reparam=self.reparam_mix_matrix,
+            nlo_factor=1.020 if self.include_nlo else 1.0,
+            interpret=(_pallas_mode() == "interpret"),
+            active=active,
+        )
+
+    def _compute_stacked_events(self, container, dm, mix, mat_pot,
+                                mat_decay, lri_pot):
+        """Per-event osc on a stacked container (calc_mode=events): flatten
+        each nubar group's (categories x padded events) block, run one
+        fixed-sign propagation per group (the kernel's nubar is static,
+        ``ops/osc/kernels.py`` get_H_mat), and scatter the (C, n_pad)
+        flavor projections back. Padded slots (NaN coordinate energy,
+        zero-padded chains) are sanitized to E=1 GeV with zero-length
+        chains (identity transition) so they stay finite under
+        differentiation; their weights are zero-padded downstream."""
+        e = jnp.asarray(container["true_energy"], dtype=FTYPE)   # (C, n_pad)
+        dens = jnp.asarray(container["densities"], dtype=FTYPE)  # (C,n_pad,L)
+        dist = jnp.asarray(container["distances"], dtype=FTYPE)
+        grp = (np.asarray(container.cat_aux("nubar")) < 0).astype(np.int32)
+        flav = np.asarray(container.cat_aux("flav"), dtype=np.int32)
+        n_cats, n_pad = e.shape
+        one = jnp.asarray(1.0, dtype=FTYPE)
+        e = jnp.where(jnp.isfinite(e) & (e > 0), e, one)
+        dens = jnp.where(jnp.isfinite(dens), dens, 0.0)
+        dist = jnp.where(jnp.isfinite(dist), dist, 0.0)
+        probs = jnp.zeros((n_cats, n_pad, 3, 3), dtype=FTYPE)
+        for sign in (1, -1):
+            idx = np.where(grp == (1 if sign < 0 else 0))[0]
+            if idx.size == 0:
+                continue
+            p = osc_probs_layers(
+                dm, mix, mat_pot, mat_decay,
+                jnp.asarray(lri_pot, dtype=FTYPE), sign,
+                e[idx].reshape(-1),
+                dens[idx].reshape(-1, dens.shape[-1]),
+                dist[idx].reshape(-1, dist.shape[-1]),
+                decay_flag=bool(self.neutrino_decay),
+            )
+            probs = probs.at[idx].set(
+                p.reshape(idx.size, n_pad, 3, 3)
+            )
+        container["probability"] = probs
+        # per-category flavor projections: P(e->flav_c), P(mu->flav_c)
+        fl = jnp.asarray(flav, dtype=jnp.int32)[:, None, None]
+        pe = jnp.take_along_axis(probs[:, :, 0, :], fl, axis=2)[..., 0]
+        pm = jnp.take_along_axis(probs[:, :, 1, :], fl, axis=2)[..., 0]
+        container["prob_e"] = pe
+        container["prob_mu"] = pm
 
     def _apply_stacked(self, container):
         """Fused grid-rate path for a stacked container: one (6, ngrid) rate
@@ -644,7 +786,14 @@ class prob3(Stage):  # noqa: N801
         flux_valid_events = isinstance(rep, str) and container.validity.get(
             "nu_flux", {}
         ).get(apply_h, False)
-        if flux_valid_events:
+        # per-event calc mode writes the probabilities directly in the
+        # events representation; the per-event product branch then applies
+        # regardless of where the flux lives (reading nu_flux translates
+        # grid -> stacked events in one gather if needed)
+        prob_valid_events = isinstance(rep, str) and container.validity.get(
+            "prob_e", {}
+        ).get(apply_h, False)
+        if flux_valid_events or prob_valid_events:
             nu_flux = container["nu_flux"]  # (C, n_pad, 2) per event
             # reading prob_e/prob_mu in the events representation folds the
             # (group-row x grid) -> stacked-events gather into ONE op

@@ -320,6 +320,85 @@ def test_fwdgrad_values_and_gradients():
     )
 
 
+def test_fwdgrad_planar_values_and_gradients():
+    """The PLANAR-layout prepared path (channel-first (2, 3, n), the
+    flagship stacked template's fast path) must match the (n, 3, 3)
+    reference values on the e/mu initial-state rows and reproduce the XLA
+    parameter gradients."""
+    from pisa_tpu.ops.osc.pallas_chain import (
+        osc_probs_layers_pallas_fwdgrad_prepared_planar,
+        prepare_chain_geometry,
+    )
+
+    rng = np.random.RandomState(5)
+    n, n_layers = 96, 6
+    e = 10 ** rng.uniform(0, 2, n)
+    nl = rng.randint(1, 7, n)
+    dens = rng.uniform(1, 10, (n, n_layers))
+    dist = rng.uniform(50, 1000, (n, n_layers))
+    for i, k in enumerate(nl):
+        dens[i, k:] = 0.0
+        dist[i, k:] = 0.0
+    order = np.argsort(np.count_nonzero(dist > 0, axis=1)).astype(np.int32)
+    geom = prepare_chain_geometry(
+        jnp.asarray(e, FTYPE), jnp.asarray(dens, FTYPE),
+        jnp.asarray(dist, FTYPE), order=order,
+    )
+
+    theta = jnp.asarray([0.58, 0.15, 0.78, 1.2, 7.4e-5, 2.5e-3])
+    mat_pot = C.of(np.diag([1.0, 0.0, 0.0]).astype(np.complex128))
+    mat_decay = C.of(np.zeros((3, 3), np.complex128))
+    lri = np.zeros((3, 3))
+    mix = pmns_matrix(
+        jnp.sin(theta[0]), jnp.sin(theta[1]), jnp.sin(theta[2]), theta[3]
+    )
+    dm = dm_matrix(theta[4], theta[5])
+
+    for nubar in (1, -1):
+        ref = np.asarray(
+            osc_probs_layers(
+                dm, mix, mat_pot, mat_decay, lri, nubar, e, dens, dist
+            )
+        )
+        planar = np.asarray(
+            osc_probs_layers_pallas_fwdgrad_prepared_planar(
+                theta, nubar, geom, n, interpret=True,
+            )
+        )
+        assert planar.shape == (2, 3, n)
+        # planar[init, final, :] == ref[:, init, final]
+        np.testing.assert_allclose(
+            planar, ref[:, :2, :].transpose(1, 2, 0),
+            atol=1e-8 if _F64 else 5e-5,
+        )
+
+    w = jnp.asarray(rng.uniform(-1, 1, (2, 3, n)))
+
+    def loss_planar(th):
+        return jnp.sum(
+            w * osc_probs_layers_pallas_fwdgrad_prepared_planar(
+                th, 1, geom, n, interpret=True,
+            )
+        )
+
+    def loss_xla(th):
+        mx = pmns_matrix(
+            jnp.sin(th[0]), jnp.sin(th[1]), jnp.sin(th[2]), th[3]
+        )
+        dmv = dm_matrix(th[4], th[5])
+        probs = osc_probs_layers(
+            dmv, mx, mat_pot, mat_decay, lri, 1, jnp.asarray(e),
+            jnp.asarray(dens), jnp.asarray(dist),
+        )
+        return jnp.sum(w * probs[:, :2, :].transpose(1, 2, 0))
+
+    g1 = np.asarray(jax.grad(loss_planar)(theta))
+    g2 = np.asarray(jax.grad(loss_xla)(theta))
+    assert np.abs(g1 - g2).max() / np.abs(g2).max() < (
+        1e-6 if _F64 else 5e-5
+    )
+
+
 def test_odd_sizes_padding():
     """N not a multiple of the 1024-point block must pad transparently."""
     e, dens, dist, mix, dm, mat_pot, mat_decay, lri = _setup(n=96)

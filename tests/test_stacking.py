@@ -242,13 +242,18 @@ def test_stacking_rejects_mixed_keys():
 def _events_mode_pair(cfg_path):
     import os
 
-    ct_stacked = Pipeline(cfg_path).compile()
+    def build():
+        if callable(cfg_path):
+            return cfg_path().compile()
+        return Pipeline(cfg_path).compile()
+
+    ct_stacked = build()
     assert ct_stacked._trace_data is not ct_stacked.pipeline.data, (
         f"{cfg_path} did not stack"
     )
     os.environ["PISA_TPU_STACK"] = "0"
     try:
-        ct_ref = Pipeline(cfg_path).compile()
+        ct_ref = build()
     finally:
         del os.environ["PISA_TPU_STACK"]
     return ct_ref, ct_stacked
@@ -280,6 +285,49 @@ def test_events_mode_stacked_parity(cfg):
     g_ref, g_st = np.asarray(g_ref), np.asarray(g_st)
     assert np.all(np.isfinite(g_st)), (
         "stacked gradient has non-finite entries (NaN-padding hygiene)"
+    )
+    scale = max(np.max(np.abs(g_ref)), 1e-30)
+    np.testing.assert_allclose(
+        g_st / scale, g_ref / scale,
+        atol=1e-6 if FTYPE == np.float64 else 1e-3,
+    )
+
+
+def test_events_calc_osc_stacked_parity():
+    """prob3 calc_mode=events — per-event oscillations, a first-class
+    reference mode (reference ``prob3.py:452`` runs per container
+    representation; the pisa_modes notebook's calc/apply matrix) — must
+    stack into ONE trace with template and gradient parity (VERDICT r4
+    next-item 9)."""
+    from pisa_tpu.config.parser import parse_pipeline_config
+
+    def build():
+        cfg = parse_pipeline_config("settings/pipeline/example.cfg")
+        cfg[("osc", "prob3")]["calc_mode"] = "events"
+        cfg[("osc", "prob3")]["apply_mode"] = "events"
+        return Pipeline(cfg)
+
+    ct_ref, ct_stacked = _events_mode_pair(build)
+    # the stacked trace must really be stacked AND per-event osc
+    assert ct_stacked._trace_data.containers[0].is_stacked
+    v = np.clip(ct_ref.current_rescaled_values() + 0.05, 0.05, 0.95)
+    ref = {m.name: np.asarray(m.hist) for m in ct_ref.get_outputs(v)}
+    for m in ct_stacked.get_outputs(v):
+        np.testing.assert_allclose(np.asarray(m.hist), ref[m.name], **TOL)
+
+    data = ct_ref.get_outputs(v)
+    _, vg_ref = ct_ref.build_objective(data, "mod_chi2")
+    _, vg_st = ct_stacked.build_objective(data, "mod_chi2")
+    v2 = np.clip(v + 0.03, 0.05, 0.95)
+    val_ref, g_ref = vg_ref(v2)
+    val_st, g_st = vg_st(v2)
+    np.testing.assert_allclose(
+        float(val_st), float(val_ref),
+        rtol=1e-8 if FTYPE == np.float64 else 1e-4,
+    )
+    g_ref, g_st = np.asarray(g_ref), np.asarray(g_st)
+    assert np.all(np.isfinite(g_st)), (
+        "stacked per-event-osc gradient has non-finite entries"
     )
     scale = max(np.max(np.abs(g_ref)), 1e-30)
     np.testing.assert_allclose(
