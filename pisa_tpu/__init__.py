@@ -78,8 +78,18 @@ _requested_platform = os.environ.get("JAX_PLATFORMS")
 if _requested_platform:
     import jax as _jax_p
 
+    # keep 'cpu' available as a SECONDARY backend behind a requested
+    # accelerator (the default backend is the first listed): the
+    # small-workload host routing (device_fit.minimize_on_device
+    # (platform='cpu'), toy-scale fits) needs jax.devices('cpu') to exist
+    # even when the ambient env pins JAX_PLATFORMS to the accelerator
+    _effective_platform = _requested_platform
+    if "cpu" not in [
+        p.strip() for p in _effective_platform.split(",")
+    ]:
+        _effective_platform = f"{_effective_platform},cpu"
     try:
-        _jax_p.config.update("jax_platforms", _requested_platform)
+        _jax_p.config.update("jax_platforms", _effective_platform)
     except Exception:  # pragma: no cover - backend already initialized
         pass
 
