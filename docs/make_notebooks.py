@@ -336,13 +336,17 @@ reference relies on the same aliasing invariant,
     ("code", """\
 import numpy as np
 
+def grand_total(x):
+    if hasattr(x, "hist"):
+        return float(np.asarray(x.hist).sum())
+    return sum(grand_total(y) for y in x)
+
 detectors.params["theta23"].value = 40.0 * ureg.degree
 out40 = detectors.get_outputs(return_sum=False)
 detectors.params["theta23"].value = 45.0 * ureg.degree
 out45 = detectors.get_outputs(return_sum=False)
-for det, (a, b) in zip(("detA", "detB"), zip(out40, out45)):
-    ta = sum(float(np.asarray(m.hist).sum()) for m in a)
-    tb = sum(float(np.asarray(m.hist).sum()) for m in b)
+for det, a, b in zip(("detA", "detB"), out40, out45):
+    ta, tb = grand_total(a), grand_total(b)
     print(f"{det}: total @40deg {ta:.2f} -> @45deg {tb:.2f}"
           f"  (shift {(tb - ta) / ta:+.2%})")"""),
 ]
