@@ -30,14 +30,20 @@ pip show pisa-tpu >/dev/null || pip install -e . --no-deps --no-build-isolation
 # The committed artifacts hold the COMPLETE pytest output of whatever leg
 # ran (full suite unless PISA_TPU_CI_FAST=1), so a judge's re-run can be
 # diffed against them line by line; only the tail is echoed to the console.
+# Every pytest artifact opens with the exact commit it ran on, so "suite
+# green at final HEAD" is checkable from the artifact alone.
+ci_header() { echo "# commit $(git rev-parse HEAD) ($(git log -1 --format=%ci)) $1 run $(date -u +%FT%TZ)"; }
+
 step "test leg 1/2: fp32 (TPU-native default precision)"
+ci_header PISA_TPU_FTYPE=fp32 > "$ART/pytest_fp32.txt"
 PISA_TPU_FTYPE=fp32 python -m pytest "${SUITE_ARGS[@]}" -q -p no:cacheprovider \
-    > "$ART/pytest_fp32.txt" 2>&1 || { tail -30 "$ART/pytest_fp32.txt"; exit 1; }
+    >> "$ART/pytest_fp32.txt" 2>&1 || { tail -30 "$ART/pytest_fp32.txt"; exit 1; }
 tail -5 "$ART/pytest_fp32.txt"
 
 step "test leg 2/2: fp64 (golden-parity precision)"
+ci_header PISA_TPU_FTYPE=fp64 > "$ART/pytest_fp64.txt"
 PISA_TPU_FTYPE=fp64 python -m pytest "${SUITE_ARGS[@]}" -q -p no:cacheprovider \
-    > "$ART/pytest_fp64.txt" 2>&1 || { tail -30 "$ART/pytest_fp64.txt"; exit 1; }
+    >> "$ART/pytest_fp64.txt" 2>&1 || { tail -30 "$ART/pytest_fp64.txt"; exit 1; }
 tail -5 "$ART/pytest_fp64.txt"
 
 step "suite subset from a non-repo cwd (packaging/resource-path check)"

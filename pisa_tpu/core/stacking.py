@@ -45,6 +45,8 @@ otherwise — the eager pipeline path never stacks.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -254,9 +256,60 @@ class StackedContainer(Container):
         the plain gather stays."""
         idx = self._events_flat_indices(src_binning)
         size = src_binning.size
+        vals = jnp.asarray(values)
+
+        # Static-index fast path: the event->cell indices are
+        # parameter-independent, so the gather's reverse-mode transpose can
+        # be a precomputed padded PULL (translation.build_pull_transpose)
+        # instead of XLA's serialized scatter-add — measured 1.5 ms/eval of
+        # the flagship gradient for the scatter vs HBM-bandwidth for the
+        # pull. linear_call keeps forward-mode (Fisher jacfwd) working.
+        if (
+            not isinstance(idx, jax.core.Tracer)
+            and os.environ.get("PISA_TPU_PULL_TRANSPOSE", "1")
+            not in ("0", "off", "false")
+        ):
+            idx_np = np.asarray(idx)
+            if rows is None:
+                flat_tbl = vals
+                gidx = np.where(idx_np >= size, -1, idx_np)
+            else:
+                if isinstance(rows, str) and rows == "cat":
+                    rows_np = np.arange(self.n_cats, dtype=np.int64)
+                else:
+                    rows_np = np.asarray(rows, dtype=np.int64)
+                flat_tbl = vals.reshape(
+                    (vals.shape[0] * size,) + vals.shape[2:]
+                )
+                gidx = np.where(
+                    idx_np >= size,
+                    -1,
+                    rows_np[:, None] * size + np.clip(idx_np, 0, size - 1),
+                )
+            M = int(flat_tbl.shape[0])
+            if M * 32 <= 64_000_000:
+                cache = getattr(self, "_pull_cache", None)
+                if cache is None:
+                    cache = self._pull_cache = {}
+                import hashlib
+
+                key = (
+                    M,
+                    gidx.shape,
+                    hashlib.blake2b(
+                        np.ascontiguousarray(gidx), digest_size=16
+                    ).hexdigest(),
+                )
+                pull = cache.get(key)
+                if pull is None:
+                    pull = translation.build_pull_transpose(gidx, M)
+                    cache[key] = pull
+                return translation.gather_pull_transpose(
+                    flat_tbl, gidx, pull
+                )
+
         invalid = idx >= size
         safe = jnp.clip(idx, 0, size - 1)
-        vals = jnp.asarray(values)
         if rows is None:
             out = vals[safe]
         else:

@@ -111,6 +111,30 @@ class Stage:
         code path does not read. Default: none."""
         return ()
 
+    #: Rate-deferral contract (stacked grid-calc templates; see
+    #: CompiledTemplate._setup_rate_deferral): True declares that this
+    #: stage is safe to run in a template whose oscillation stage DEFERS
+    #: the flux x probability rate to the histogram stage as a grid-level
+    #: factor — i.e. the stage either never touches event-representation
+    #: 'weights', applies at the binned representation only, or multiplies
+    #: event weights by (static per-event field) x (per-category scalar).
+    #: Under deferral the factorized histogram H[c, b] =
+    #: s_c * sum_g rate[row_c, g] * S_c[g, b] replaces the 240k-index
+    #: grid->events gather (XLA:TPU ~7 ns/index, 1.6 ms/template measured)
+    #: with one static MXU contraction. Default False: any undeclared
+    #: stage in the lineup disables deferral.
+    stacked_rate_defer_safe = False
+
+    #: Container keys of STATIC per-event weight factors this stage
+    #: multiplies into 'weights' (e.g. aeff's 'weighted_aeff'); folded into
+    #: the factorized histogram's setup-time matrices.
+    stacked_static_weight_keys = ()
+
+    def stacked_rate_defer_ok(self):
+        """Whether THIS instance (with its configured modes) honors the
+        rate-deferral contract; override for mode-dependent safety."""
+        return self.stacked_rate_defer_safe
+
     # -- params ---------------------------------------------------------------
     @property
     def params(self) -> ParamSet:

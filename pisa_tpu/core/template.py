@@ -25,6 +25,8 @@ declare them via ``host_param_names`` and they must be fixed when compiling.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -218,6 +220,66 @@ class CompiledTemplate:
             len(self.pipeline.data.containers),
             self._trace_data.containers[0].n_pad,
         )
+        self._setup_rate_deferral()
+
+    def _setup_rate_deferral(self):
+        """Enable the factorized histogram when the stage lineup allows it:
+        ONE grid-calc oscillation stage, ONE events->binned hist stage, and
+        every other traced stage declaring ``stacked_rate_defer_ok`` (the
+        category-scalar weight contract, core/stage.py). The osc stage then
+        hands its (6, ngrid) flux x probability rate to the hist stage as a
+        grid-level factor (prob3._apply_stacked) and the hist contracts it
+        against static (grid x bins) matrices on the MXU
+        (hist.prepare_rate_defer) — replacing the grid->events gather
+        (~1.6 ms/template measured at flagship shapes, the largest single
+        template cost) and its reverse-mode scatter with dense matmuls.
+        Kill switch: PISA_TPU_RATE_DEFER=0."""
+        try:
+            from pisa_tpu.stages.osc.prob3 import prob3 as _prob3
+            from pisa_tpu.stages.utils.hist import hist as _hist
+        except Exception:  # pragma: no cover
+            return
+        stages = self._traced_stages
+        # stage objects are shared across template builds: reset both sides
+        # of the handshake so a build that does NOT qualify can never leave
+        # a stale deferral flag from an earlier one
+        for s in stages:
+            if isinstance(s, _prob3):
+                s._defer_rate_to_hist = False
+            if isinstance(s, _hist):
+                s._defer = None
+        if os.environ.get("PISA_TPU_RATE_DEFER", "1") in (
+            "0", "off", "false"
+        ):
+            return
+        oscs = [s for s in stages if isinstance(s, _prob3)]
+        hists = [s for s in stages if isinstance(s, _hist)]
+        if len(oscs) != 1 or len(hists) != 1:
+            return
+        osc, hs = oscs[0], hists[0]
+        if not osc.is_map:
+            return
+        if stages.index(hs) < stages.index(osc):
+            return
+        others = [s for s in stages if s is not osc and s is not hs]
+        if not all(s.stacked_rate_defer_ok() for s in others):
+            return
+        static_keys = []
+        for s in others:
+            static_keys.extend(s.stacked_static_weight_keys)
+        try:
+            ok = hs.prepare_rate_defer(
+                self._trace_data, osc.calc_mode, static_keys
+            )
+        except Exception as exc:  # deferral must never break compilation
+            logging.info("rate deferral disabled (%s)", exc)
+            return
+        if ok:
+            osc._defer_rate_to_hist = True
+            logging.info(
+                "rate deferral ON: factorized histogram (%d static keys)",
+                len(static_keys),
+            )
 
     def _populate_flatidx_caches(self):
         """Discovery pass: abstractly trace the template once, recording

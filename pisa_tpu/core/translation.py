@@ -138,6 +138,111 @@ def sanitized_flat_indices(sample, binning_or_spec):
     return jnp.where(under | over, size, flat).astype(jnp.int32)
 
 
+def build_pull_transpose(flat_idx, table_size, max_fanout=32):
+    """Precompute the static TRANSPOSE of an events<-table gather as a padded
+    "pull": for each table cell, the (at most ``max_fanout``) flat event
+    positions that gather from it, sentinel-padded; events beyond the fanout
+    cap land in small COO overflow lists.
+
+    The reverse-mode transpose of ``table[flat_idx]`` is a scatter-add of the
+    event cotangents into the table — XLA:TPU serializes that scatter
+    (~1.5 ms at flagship shapes, artifacts/grad_decomp_r05_staticgather.log
+    measured two scan-based alternatives even slower). Because ``flat_idx``
+    is parameter-independent (event coordinates are data), the scatter's
+    sparsity pattern is static and the whole transpose can instead be a
+    dense ``(table_size, B)`` gather of the cotangents plus a row-sum — a
+    pattern TPUs execute at HBM bandwidth.
+
+    Parameters
+    ----------
+    flat_idx : ndarray (any shape), int
+        Static event -> table-cell indices; entries ``< 0`` or
+        ``>= table_size`` are treated as invalid (contribute nothing).
+    table_size : int
+    max_fanout : int
+        Cap on the dense per-cell fanout ``B``; cells with more events
+        spill into the overflow lists.
+
+    Returns
+    -------
+    dict with ``inv`` (table_size, B) int32 positions into the flattened
+    event axis (sentinel = n_events), ``ov_pos``/``ov_cell`` int32 overflow
+    COO lists, and ``n_events``.
+    """
+    flat = np.asarray(flat_idx).ravel()
+    n_events = flat.size
+    valid = (flat >= 0) & (flat < table_size)
+    pos = np.nonzero(valid)[0].astype(np.int64)
+    cells = flat[valid].astype(np.int64)
+    order = np.argsort(cells, kind="stable")
+    pos_s, cells_s = pos[order], cells[order]
+    counts = np.bincount(cells_s, minlength=table_size)
+    bmax = int(counts.max()) if counts.size and pos_s.size else 0
+    B = max(1, min(int(max_fanout), bmax))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(pos_s.size, dtype=np.int64) - starts[cells_s]
+    in_main = rank < B
+    inv = np.full((table_size, B), n_events, dtype=np.int32)
+    inv[cells_s[in_main], rank[in_main]] = pos_s[in_main]
+    return {
+        "inv": inv,
+        "ov_pos": pos_s[~in_main].astype(np.int32),
+        "ov_cell": cells_s[~in_main].astype(np.int32),
+        "n_events": n_events,
+    }
+
+
+def gather_pull_transpose(table, flat_idx, pull, out_shape=None):
+    """``table[flat_idx]`` (invalid indices -> 0) as a LINEAR op whose
+    transpose is the precomputed padded pull from
+    :func:`build_pull_transpose` instead of XLA's scatter-add.
+
+    Implemented with ``jax.custom_derivatives.linear_call`` so both
+    differentiation modes work: forward-mode (e.g. ``jax.jacfwd`` Fisher
+    matrices, analysis/fisher.py) applies the same gather to tangents;
+    reverse-mode transposes to the pull. ``table``: (M,) + extra dims;
+    ``flat_idx``: static ndarray (invalid encoded < 0 or >= M).
+    """
+    from jax.custom_derivatives import linear_call
+
+    flat_idx = np.asarray(flat_idx)
+    idx_shape = flat_idx.shape
+    M = int(table.shape[0])
+    invalid = (flat_idx < 0) | (flat_idx >= M)
+    safe = jnp.asarray(
+        np.where(invalid, 0, flat_idx).ravel().astype(np.int32)
+    )
+    inv_mask = jnp.asarray(invalid.ravel())
+    inv_idx = jnp.asarray(pull["inv"])
+    ov_pos = jnp.asarray(pull["ov_pos"])
+    ov_cell = jnp.asarray(pull["ov_cell"])
+    n_ev = pull["n_events"]
+
+    def fwd(_, tbl):
+        vals = tbl[safe]
+        mask = inv_mask
+        if vals.ndim > 1:
+            mask = mask.reshape(mask.shape + (1,) * (vals.ndim - 1))
+        return jnp.where(mask, 0.0, vals)
+
+    def transpose(_, ct):
+        ctf = ct.reshape((n_ev,) + ct.shape[1:])
+        mask = inv_mask
+        if ctf.ndim > 1:
+            mask = mask.reshape(mask.shape + (1,) * (ctf.ndim - 1))
+        ctf = jnp.where(mask, 0.0, ctf)
+        ct_ext = jnp.concatenate(
+            [ctf, jnp.zeros((1,) + ctf.shape[1:], ctf.dtype)], axis=0
+        )
+        d = ct_ext[inv_idx].sum(axis=1)  # (M, B[, extra]) -> (M[, extra])
+        if ov_pos.shape[0]:
+            d = d.at[ov_cell].add(ctf[ov_pos])
+        return d
+
+    out = linear_call(fwd, transpose, (), table)
+    return out.reshape(idx_shape + table.shape[1:])
+
+
 def histogram(
     sample, weights, binning_or_spec, averaged=False, apply_weights=True,
     idx=None,

@@ -32,6 +32,11 @@ class aeff(Stage):  # noqa: N801
 
     supports_stacked = True
 
+    # weights *= weighted_aeff (static per-event) x scale (per-category
+    # scalar) — exactly the rate-deferral contract (core/stage.py)
+    stacked_rate_defer_safe = True
+    stacked_static_weight_keys = ("weighted_aeff",)
+
     def apply_function(self):
         aeff_scale = self.params.aeff_scale.m_as("dimensionless")
         livetime_s = self.params.livetime.m_as("sec")

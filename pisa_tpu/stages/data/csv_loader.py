@@ -170,6 +170,9 @@ class csv_loader(Stage):  # noqa: N801
     # elementwise apply: works unchanged on category-stacked arrays
     supports_stacked = True
 
+    # resets weights to the static initial_weights (no param dependence)
+    stacked_rate_defer_safe = True
+
     def apply_function(self):
         # reset weights before downstream stages multiply them
         for container in self.data:

@@ -104,6 +104,14 @@ class hypersurfaces(Stage):  # noqa: N801
 
     supports_stacked = True
 
+    def stacked_rate_defer_ok(self):
+        # bin-level reweighting is rate-deferral safe; a per-EVENT apply
+        # (scales looked up per event) would introduce per-event parameter
+        # dependence and must disable deferral
+        from pisa_tpu.core.binning import MultiDimBinning
+
+        return isinstance(self.apply_mode, MultiDimBinning)
+
     def _group_rows(self, cat_names):
         """(group names, rows) for a stacked container: linked groups share
         one hypersurface evaluation (the stacked analog of link_containers);

@@ -79,6 +79,9 @@ class barr_simple(Stage):  # noqa: N801
     # per-category (C, 1) nubar sign select (see pisa_tpu/core/stacking.py)
     supports_stacked = True
 
+    # writes nu_flux only; never touches event weights
+    stacked_rate_defer_safe = True
+
     def prepare_stacked(self, data):
         """Precompute the parameter-free Barr modification fields on the
         (concrete) calc sample — grid or stacked events — so the

@@ -61,6 +61,9 @@ class daemon_flux(Stage):  # noqa: N801
     # shape-agnostic jnp with a per-category nubar sign
     supports_stacked = True
 
+    # writes nu_flux only; never touches event weights (rate deferral safe)
+    stacked_rate_defer_safe = True
+
     #: default vendored correlation matrix (diag(C^-1) pinned to the
     #: reference's published single-pull penalties; see module docstring)
     VENDORED_CORRELATIONS = "flux/daemonflux_correlations.json"

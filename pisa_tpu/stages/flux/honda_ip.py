@@ -43,6 +43,9 @@ class honda_ip(Stage):  # noqa: N801
     # the flux table path steers host-side table loading; it cannot be traced
     host_param_names = ("flux_table",)
 
+    # never touches event weights (fills nominal flux fields only)
+    stacked_rate_defer_safe = True
+
     # grid mode: the nominal flux is computed on the shared calc grid and is
     # category-independent, so the stacked container stores it as ONE shared
     # array (events mode would need per-category padding-aware evaluation)

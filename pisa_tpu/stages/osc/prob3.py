@@ -832,6 +832,17 @@ class prob3(Stage):  # noqa: N801
                 f" {rows_flux!r})"
             )
         rate = nf6[..., 0] * pe + nf6[..., 1] * pm
+        if getattr(self, "_defer_rate_to_hist", False):
+            # rate DEFERRAL (CompiledTemplate._setup_rate_deferral): hand
+            # the (6, ngrid) grid rate to the histogram stage as a factor
+            # instead of gathering it to 240k events here — the factorized
+            # histogram contracts it against a static (grid x bins) matrix
+            # on the MXU, eliminating both the forward gather (~1.6 ms
+            # measured, benchmarks/template_value_decomp.py) and its
+            # reverse-mode scatter (~1.5 ms) from every template/gradient.
+            container.deferred_rate = {"rate": rate, "rows": rows_pf}
+            container.representation = rep
+            return
         container.set_stacked("osc_flux_rate", rate, rows=rows_pf)
         container.representation = rep
         container["weights"] = (

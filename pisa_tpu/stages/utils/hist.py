@@ -100,10 +100,167 @@ class hist(Stage):  # noqa: N801
                 finally:
                     container.representation = prev
 
+    def prepare_rate_defer(self, data, calc_binning, static_keys):
+        """One-time setup of the FACTORIZED histogram for rate deferral
+        (see CompiledTemplate._setup_rate_deferral and
+        prob3._apply_stacked): precompute, per category, the static
+
+            S_c[g, b]  = sum_{events e in cat c, calc-cell g, output bin b}
+                         A0_e
+            S2_c[g, b] = the same with A0_e^2  (sumw2 channel)
+
+        where A0 is the static per-event weight base (initial weights x
+        the declared static factors, e.g. weighted_aeff). The per-template
+        histogram then is H[c, :] = s_c * rate[row_c, :] @ S_c — one MXU
+        contraction instead of a 240k-index grid->events gather whose
+        XLA:TPU cost (~7 ns/index) dominated the template
+        (benchmarks/template_value_decomp.py: 1.6 of 3.8 ms/eval). The
+        per-category scalar s_c (all parameter dependence of the non-rate
+        weight factors, guaranteed scalar by the stages'
+        ``stacked_rate_defer_safe`` contract) is extracted in-trace from a
+        reference event. Exact because every event of a calc cell shares
+        the cell's rate (the 'average'-mode lookup semantics, reference
+        ``pisa/core/translation.py:228``); the sumw2 channel stays exact
+        through S2 since rate enters each event's weight linearly.
+
+        Returns True when the factorization is prepared for every stacked
+        container; False -> the caller leaves deferral disabled."""
+        from pisa_tpu.core.container import _rep_hash
+
+        if self.apply_mode is None:
+            self.apply_mode = data["output_binning"]
+        if self.apply_unc_weights or self.unweighted:
+            return False
+        B = self.apply_mode.size
+        G = calc_binning.size
+        self._defer = None
+        prepared = {}
+        for sc in data.containers:
+            if not getattr(sc, "is_stacked", False):
+                return False
+            if "astro_weights" in sc.keys:
+                return False
+            gidx = np.asarray(sc._events_flat_indices(calc_binning))
+            bidx = np.asarray(
+                sc._events_flat_indices(self.apply_mode)
+            )
+            prev = sc.representation
+            sc.representation = "events"
+            try:
+                # the loader RESETS weights = initial_weights at the start
+                # of every traced evaluation (csv_loader apply), so the
+                # static per-event base is initial_weights x the declared
+                # static factors — NOT the possibly already-run 'weights'
+                base_key = (
+                    "initial_weights"
+                    if "initial_weights" in sc.keys
+                    else "weights"
+                )
+                A0 = np.asarray(sc[base_key], dtype=np.float64)
+                for k in static_keys:
+                    A0 = A0 * np.asarray(sc[k], dtype=np.float64)
+            finally:
+                sc.representation = prev
+            C, n_pad = gidx.shape
+            if C * G * B * np.dtype("float32").itemsize * 2 > 4_000_000_000:
+                return False
+            A0 = np.where(np.isfinite(A0), A0, 0.0)
+            valid = (gidx < G) & (bidx < B)
+            comb = gidx.astype(np.int64) * B + bidx.astype(np.int64)
+            from pisa_tpu import FTYPE
+
+            S = np.zeros((C, G, B), dtype=FTYPE)
+            S2 = np.zeros((C, G, B), dtype=FTYPE)
+            for c in range(C):
+                v = valid[c]
+                S[c] = np.bincount(
+                    comb[c][v], weights=A0[c][v], minlength=G * B
+                ).reshape(G, B).astype(FTYPE)
+                S2[c] = np.bincount(
+                    comb[c][v], weights=A0[c][v] ** 2, minlength=G * B
+                ).reshape(G, B).astype(FTYPE)
+            # reference event per category for the in-trace scalar ratio
+            e0 = np.zeros(C, dtype=np.int64)
+            a0 = np.ones(C, dtype=np.float64)
+            for c in range(C):
+                vv = np.nonzero(valid[c] & (np.abs(A0[c]) > 0))[0]
+                if vv.size:
+                    e0[c] = vv[np.argmax(np.abs(A0[c][vv]))]
+                    a0[c] = A0[c][e0[c]]
+            # stash the matrices as container DATA so the template's
+            # _place_container_data ships them once as device arguments
+            # (embedded 300 MB closure constants re-upload per program);
+            # rows=arange(C) marks the grid axis for the sharding pass
+            h = _rep_hash("events")
+            for key, arr in (("_rate_defer_S", S), ("_rate_defer_S2", S2)):
+                sc._data.setdefault(key, {})[h] = arr
+                sc.rows[(key, h)] = np.arange(C, dtype=np.int32)
+                sc.validity.setdefault(key, {})[h] = True
+            prepared[id(sc)] = {"e0": e0, "a0": a0, "hash": h}
+        if not prepared:
+            return False
+        self._defer = prepared
+        return True
+
+    def _apply_stacked_deferred(self, container, dr):
+        """Factorized-histogram apply (rate deferral active this trace)."""
+        defer = self._defer[id(container)]
+        rate = dr["rate"]  # (R, G) traced
+        rows = np.asarray(dr["rows"])
+        C = rows.size
+        container.representation = "events"
+        A = container["weights"]  # (C, n_pad) pre-rate weights, traced
+        e0 = jnp.asarray(defer["e0"])
+        a0 = jnp.asarray(defer["a0"], dtype=A.dtype)
+        s = jnp.where(
+            a0 != 0, A[jnp.arange(C), e0] / jnp.where(a0 != 0, a0, 1.0), 1.0
+        )
+        h = defer["hash"]
+        S = jnp.asarray(container._data["_rate_defer_S"][h])
+        rate_c = rate[jnp.asarray(rows, dtype=jnp.int32)]  # (C, G)
+        hi = jax.lax.Precision.HIGHEST
+        hist_w = (
+            jnp.einsum("cg,cgb->cb", rate_c, S, precision=hi)
+            * s[:, None]
+        )
+        if self.error_method == "sumw2":
+            S2 = jnp.asarray(container._data["_rate_defer_S2"][h])
+            sumw2 = (
+                jnp.einsum(
+                    "cg,cgb->cb", jnp.square(rate_c), S2, precision=hi
+                )
+                * jnp.square(s)[:, None]
+            )
+        container.representation = self.apply_mode
+        container["weights"] = hist_w
+        # the events-representation weights are PRE-rate under deferral:
+        # mark them invalid so any later events-rep consumer re-translates
+        # instead of silently reading rate-less weights
+        from pisa_tpu.core.container import _rep_hash
+
+        container.validity["weights"][_rep_hash("events")] = False
+        if self.error_method == "sumw2":
+            container["errors"] = jnp.sqrt(sumw2)
+            container["bin_unc2"] = hist_w
+
     def _apply_stacked(self, container):
         """All categories histogrammed in one batched op: (C, n) weights x
         (C, n, size) one-hot -> (C, size) (with the sumw2 channels stacked
         into the same matmul, as in the per-container path)."""
+        dr = getattr(container, "deferred_rate", None)
+        if dr is not None:
+            container.deferred_rate = None
+            defer = getattr(self, "_defer", None)
+            if defer is None or id(container) not in defer:
+                # the osc stage deferred its rate but this hist was not
+                # prepared for it — a handshake bug; failing loud beats a
+                # silently rate-less histogram
+                raise RuntimeError(
+                    "deferred_rate present but the hist stage has no"
+                    " factorized matrices for this container"
+                )
+            self._apply_stacked_deferred(container, dr)
+            return
         container.representation = "events"
         weights = container["weights"]
         if "astro_weights" in container.keys:
